@@ -1,0 +1,134 @@
+"""Integration tests: end-to-end renders on tiny configs
+(BASELINE.md config 1 semantics; SURVEY.md §4 tier 3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.render.camera import Camera
+from tpu_pathtracer.render.film import accumulate, post_process, to_uint8
+from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+from tpu_pathtracer.scene.procedural import single_sphere_scene, three_spheres_scene
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        width=48,
+        height=32,
+        samples_per_launch=2,
+        max_depth=4,
+        dof=False,
+        env_mode="constant",
+        intersector="brute",
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    return single_sphere_scene(stacks=8, slices=16)
+
+
+def render(scene, cfg, subframe=0, camera=None):
+    cam = camera_arrays(camera or Camera(), cfg)
+    return np.asarray(render_frame(scene, cam, cfg, jnp.int32(subframe)))
+
+
+def test_render_finite_and_shaped(sphere_scene):
+    cfg = tiny_cfg()
+    img = render(sphere_scene, cfg)
+    assert img.shape == (32, 48, 3)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.0
+
+
+def test_bitwise_reproducible(sphere_scene):
+    cfg = tiny_cfg()
+    a = render(sphere_scene, cfg)
+    b = render(sphere_scene, cfg)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_subframes_differ(sphere_scene):
+    cfg = tiny_cfg()
+    a = render(sphere_scene, cfg, subframe=0)
+    b = render(sphere_scene, cfg, subframe=1)
+    assert not np.array_equal(a, b)
+
+
+def test_sky_pixels_match_env(sphere_scene):
+    # With a constant sky, rays that escape on the primary segment return
+    # exactly the env colour (attenuation 1, p=1 -> no RR distortion).
+    cfg = tiny_cfg(samples_per_launch=1, max_depth=2)
+    img = render(sphere_scene, cfg)
+    # Top rows look above the horizon at empty sky.
+    top = img[-1]  # y index H-1 = NDC +1 = up (V points up)
+    expected = np.array([0.4, 0.4, 0.6], np.float32)
+    matches = np.all(np.abs(top - expected) < 1e-5, axis=-1)
+    assert matches.mean() > 0.9
+
+
+def test_sphere_occludes_sky(sphere_scene):
+    cfg = tiny_cfg(samples_per_launch=4)
+    img = render(sphere_scene, cfg)
+    # Centre of the image looks at the sphere: not equal to sky blue.
+    centre = img[16, 24]
+    assert abs(centre[2] - 0.6) > 0.02 or abs(centre[0] - 0.4) > 0.02
+
+
+def test_dof_changes_image(sphere_scene):
+    a = render(sphere_scene, tiny_cfg(dof=False))
+    b = render(sphere_scene, tiny_cfg(dof=True))
+    assert not np.array_equal(a, b)
+
+
+def test_rr_modes_both_run(sphere_scene):
+    a = render(sphere_scene, tiny_cfg(rr_mode="reference"))
+    b = render(sphere_scene, tiny_cfg(rr_mode="standard"))
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    assert not np.array_equal(a, b)
+
+
+def test_three_spheres_scene_renders():
+    scene = three_spheres_scene(stacks=6, slices=12)
+    cfg = tiny_cfg(env_mode="sunsky")
+    img = render(scene, cfg)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.0
+
+
+def test_tiling_invariance(sphere_scene):
+    # Tiled and untiled launches must agree bitwise (counter-based seeds).
+    cfg_full = tiny_cfg()
+    cfg_tiled = tiny_cfg(tile_pixels=48 * 32 // 4)
+    a = render(sphere_scene, cfg_full)
+    b = render(sphere_scene, cfg_tiled)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_progressive_accumulation_converges(sphere_scene):
+    # More subframes -> variance of accumulated image decreases.
+    cfg = tiny_cfg(samples_per_launch=1)
+    cam = camera_arrays(Camera(), cfg)
+    accum = jnp.zeros((32, 48, 3))
+    frames = []
+    for k in range(6):
+        frame = render_frame(sphere_scene, cam, cfg, jnp.int32(k))
+        accum = accumulate(accum, frame, k)
+        frames.append(np.asarray(frame))
+    single_var = np.var(frames[0] - frames[1])
+    acc = np.asarray(accum)
+    resid = np.var(acc - np.mean(frames, axis=0))
+    assert resid < 1e-10  # accumulation == running mean
+    assert single_var > 0.0
+
+
+def test_post_chain_end_to_end(sphere_scene):
+    cfg = tiny_cfg()
+    img = render(sphere_scene, cfg)
+    out = to_uint8(post_process(jnp.asarray(img), cfg))
+    arr = np.asarray(out)
+    assert arr.dtype == np.uint8
+    assert arr.min() >= 0 and arr.max() <= 255

@@ -1,0 +1,102 @@
+"""Render configuration.
+
+The reference hard-codes every rendering constant inside its kernels and
+host code (reference optixSphere.cu:309,323,360,412,425,432 and
+optixSphere.cpp:104-107,829-841).  Here every one of those constants is a
+field of a single frozen dataclass so it is (a) discoverable, (b) test-able
+and (c) hashable, which lets the whole config ride into `jax.jit` as a
+static argument.
+
+Reference-derived defaults are annotated with their source lines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration for one render.  Hashable -> jit-static."""
+
+    # ---- image / launch geometry -------------------------------------
+    width: int = 1600                # reference optixSphere.cpp:760 (release)
+    height: int = 1200               # reference optixSphere.cpp:761
+    samples_per_launch: int = 10     # `sample_batch_count` optixSphere.cu:323
+    max_depth: int = 20              # payload.depth init, optixSphere.cu:360
+
+    # ---- ray parameters ----------------------------------------------
+    t_min: float = 0.01              # optixSphere.cu:368
+    t_max: float = 1e16              # optixSphere.cu:369
+
+    # ---- camera / depth of field -------------------------------------
+    dof: bool = True                 # `bool dof = true` optixSphere.cpp:92
+    dof_blurriness: float = 0.01     # optixSphere.cu:285
+    focus_distance: float = 1.0      # optixSphere.cu:329
+
+    # ---- BSDF constants ------------------------------------------------
+    ior: float = 1.5                 # optixSphere.cu:717
+    normal_map_strength: float = 0.4  # optixSphere.cu:697
+    roughness_min: float = 0.015     # optixSphere.cu:735
+    roughness_max: float = 0.999     # optixSphere.cu:736
+    flip_v: bool = True              # uv.y = 1 - uv.y, optixSphere.cu:659
+    # Glass refraction roughness perturbation scale, optixSphere.cu:848
+    glass_roughness_perturb: float = 0.8
+
+    # ---- film / post chain ---------------------------------------------
+    exposure: float = -0.5           # optixSphere.cu:412
+    gamma: float = 2.2               # optixSphere.cu:425
+    contrast: float = 1.25           # optixSphere.cu:432
+    # The reference additionally passes through the OptiX SDK's
+    # `make_color`, which applies an sRGB transfer curve on top of the
+    # manual gamma (cuda/helpers.h `toSRGB`; call at optixSphere.cu:435).
+    srgb_output: bool = True
+
+    # ---- estimator behaviour -------------------------------------------
+    # "reference": clone the reference's quirky estimator exactly:
+    #   path_rgb = payload.radiance; on termination path_rgb /= p
+    #   (optixSphere.cu:376-387).
+    # "standard": textbook Russian roulette — divide *attenuation* by the
+    #   survival probability for surviving paths (unbiased).
+    rr_mode: str = "reference"
+    # Reference keeps a discarded random_in_unit_sphere(seed) call that
+    # advances the RNG ("needed to avoid artifacts", optixSphere.cu:733).
+    # We default it off because our lanes have independent seeds; flip on
+    # for estimator-parity experiments.
+    seed_advance_quirk: bool = False
+
+    # ---- environment lighting ------------------------------------------
+    # "equirect" = HDR image (optixSphere.cu:548-550),
+    # "sunsky"   = procedural fallback (optixSphere.cu:552-557),
+    # "constant" = flat colour sky (ours — used by test configs).
+    env_mode: str = "equirect"
+    env_constant: Tuple[float, float, float] = (0.4, 0.4, 0.6)
+    # Environment-map CDF importance sampling (exceeds the reference — its
+    # NEE path is dead code, optixSphere.cu:134-156, 858).
+    env_importance_sampling: bool = False
+
+    # ---- performance knobs ----------------------------------------------
+    # Rays are processed in flat batches of (tile pixels x samples); tiles
+    # bound live HBM. 0 = whole frame in one batch.
+    tile_pixels: int = 0
+    # Triangle-block size for the blocked brute-force intersector.
+    intersect_block: int = 256
+    # Which intersector: "auto" | "brute" | "cluster" | "bvh"
+    intersector: str = "auto"
+    # Use Pallas kernels where available (falls back to pure-JAX lowering
+    # on CPU test runs).
+    use_pallas: bool = True
+    # Accumulation dtype for the film. float32 matches the reference.
+    accum_dtype: str = "float32"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        if self.rr_mode not in ("reference", "standard"):
+            raise ValueError(f"invalid rr_mode: {self.rr_mode!r}")
+        if self.env_mode not in ("equirect", "sunsky", "constant"):
+            raise ValueError(f"invalid env_mode: {self.env_mode!r}")
+        if self.intersector not in ("auto", "brute", "cluster", "bvh"):
+            raise ValueError(f"invalid intersector: {self.intersector!r}")

@@ -1,0 +1,152 @@
+"""Environment lighting: equirectangular HDR eval + CDF importance sampling.
+
+Replaces the reference miss program (reference optixSphere.cu:531-567):
+direction -> equirect UV (cu:543-544), hand-rolled bilinear fetch
+(`sampleHDRI`, cu:503-529), and the procedural sun+sky fallback behind the
+`use_hdr` flag (cu:547-558).
+
+Importance sampling (build_env_cdf / sample_env) goes beyond the reference,
+whose NEE helper is dead code (cu:134-156, 858) — it is the north-star
+"env importance sampling" capability from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.scene.scene import EnvironmentMap
+from tpu_pathtracer.utils import math as vm
+
+
+def direction_to_uv(direction: jnp.ndarray):
+    """Equirect mapping, matching reference optixSphere.cu:543-544:
+    u = 0.5 + atan2(z, x)/2pi;  v = 0.5 - asin(y)/pi."""
+    d = vm.normalize(direction)
+    u = 0.5 + jnp.arctan2(d[..., 2], d[..., 0]) / (2.0 * jnp.pi)
+    v = 0.5 - jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+    return u, v
+
+
+def uv_to_direction(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of direction_to_uv (for env importance sampling)."""
+    phi = (u - 0.5) * (2.0 * jnp.pi)
+    theta = (0.5 - v) * jnp.pi          # elevation; y = sin(theta)
+    y = jnp.sin(theta)
+    c = jnp.cos(theta)
+    x = c * jnp.cos(phi)
+    z = c * jnp.sin(phi)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear fetch from an equirect image [H,W,3] at (u,v) in [0,1].
+
+    Matches `sampleHDRI` (cu:503-529) except that x/y wrap uses non-negative
+    modulo (the reference's C `%` can go negative at the u=0 seam and read
+    out of bounds — a bug we fix; SURVEY.md quirk list).
+    """
+    h, w = data.shape[0], data.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    s = (x - x0)[..., None]
+    t = (y - y0)[..., None]
+
+    xi0 = jnp.mod(x0.astype(jnp.int32), w)
+    xi1 = jnp.mod(xi0 + 1, w)
+    yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    yi1 = jnp.clip(yi0 + 1, 0, h - 1)
+
+    c00 = data[yi0, xi0]
+    c10 = data[yi0, xi1]
+    c01 = data[yi1, xi0]
+    c11 = data[yi1, xi1]
+
+    c0 = c00 + (c10 - c00) * s
+    c1 = c01 + (c11 - c01) * s
+    return c0 + (c1 - c0) * t
+
+
+def sunsky(direction: jnp.ndarray) -> jnp.ndarray:
+    """Procedural sun+sky fallback, reference optixSphere.cu:552-557:
+    a disk of (200,175,125) around normalize(0,2,3), else (0.4,0.4,0.6)."""
+    d = vm.normalize(direction)
+    sun_dir = vm.normalize(jnp.array([0.0, 2.0, 3.0], dtype=jnp.float32))
+    in_sun = vm.dot(d, sun_dir) > 0.99
+    sun = jnp.array([200.0, 175.0, 125.0], dtype=jnp.float32)
+    sky = jnp.array([0.4, 0.4, 0.6], dtype=jnp.float32)
+    return jnp.where(in_sun[..., None], sun, sky)
+
+
+def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """Environment radiance for (a batch of) ray direction(s) [...,3]."""
+    if cfg.env_mode == "constant":
+        return jnp.broadcast_to(
+            jnp.asarray(cfg.env_constant, dtype=jnp.float32),
+            direction.shape,
+        )
+    if cfg.env_mode == "sunsky":
+        return sunsky(direction)
+    u, v = direction_to_uv(direction)
+    return sample_equirect(env.data, u, v)
+
+
+# ---------------------------------------------------------------------------
+# Environment CDF importance sampling (beyond-reference capability)
+# ---------------------------------------------------------------------------
+
+def build_env_cdf(env: EnvironmentMap) -> EnvironmentMap:
+    """Precompute marginal/conditional CDFs over luminance*sin(theta)."""
+    data = env.data
+    h, w = data.shape[0], data.shape[1]
+    lum = jnp.einsum("hwk,k->hw", data, jnp.array([0.2126, 0.7152, 0.0722]))
+    # solid-angle weight: sin(theta) for row centers
+    theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * jnp.pi
+    weights = lum * jnp.sin(theta)[:, None] + 1e-12
+    row_sums = jnp.sum(weights, axis=1)                      # [H]
+    cdf_rows = jnp.cumsum(row_sums) / jnp.sum(row_sums)      # [H]
+    cdf_cols = jnp.cumsum(weights, axis=1) / row_sums[:, None]  # [H,W]
+    return env.replace(cdf_rows=cdf_rows, cdf_cols=cdf_cols)
+
+
+def sample_env(env: EnvironmentMap, u1: jnp.ndarray, u2: jnp.ndarray):
+    """Draw env directions ~ luminance. Returns (dir [...,3], pdf [...])."""
+    if env.cdf_rows is None:
+        raise ValueError("call build_env_cdf(env) first")
+    h, w = env.data.shape[0], env.data.shape[1]
+    row = jnp.searchsorted(env.cdf_rows, u1, side="left")
+    row = jnp.clip(row, 0, h - 1)
+    cols = env.cdf_cols[row]                                  # [...,W]
+    col = jnp.clip(
+        jnp.sum((cols < u2[..., None]).astype(jnp.int32), axis=-1), 0, w - 1
+    )
+    u = (col.astype(jnp.float32) + 0.5) / w
+    v = (row.astype(jnp.float32) + 0.5) / h
+    direction = uv_to_direction(u, v)
+
+    # pdf in solid-angle measure
+    lum = jnp.einsum("hwk,k->hw", env.data, jnp.array([0.2126, 0.7152, 0.0722]))
+    theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * jnp.pi
+    weights = lum * jnp.sin(theta)[:, None] + 1e-12
+    total = jnp.sum(weights)
+    p_texel = weights[row, col] / total
+    sin_theta = jnp.maximum(jnp.sin(theta)[row], 1e-6)
+    pdf = p_texel * (h * w) / (2.0 * jnp.pi * jnp.pi * sin_theta)
+    return direction, pdf
+
+
+def env_pdf(env: EnvironmentMap, direction: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of sample_env for given directions."""
+    h, w = env.data.shape[0], env.data.shape[1]
+    u, v = direction_to_uv(direction)
+    col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    lum = jnp.einsum("hwk,k->hw", env.data, jnp.array([0.2126, 0.7152, 0.0722]))
+    theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * jnp.pi
+    weights = lum * jnp.sin(theta)[:, None] + 1e-12
+    total = jnp.sum(weights)
+    p_texel = weights[row, col] / total
+    sin_theta = jnp.maximum(jnp.sin(theta)[row], 1e-6)
+    return p_texel * (h * w) / (2.0 * jnp.pi * jnp.pi * sin_theta)

@@ -1,0 +1,458 @@
+"""The wavefront path-tracing integrator.
+
+This is the TPU-native re-design of the reference's OptiX megakernel
+(`__raygen__rg` / `__closesthit__radiance` / `__miss__radiance`,
+reference optixSphere.cu:297-436, 616-872, 531-567).  Where the reference
+gives each CUDA thread one pixel and lets hardware SER re-sort divergent
+rays (cu:113-115), here the whole frame is a flat SoA ray batch and every
+bounce is one divergence-free vector step:
+
+    while any lane alive:
+        hit   = intersect(all lanes)          # batched Möller–Trumbore/BVH
+        shade = closest-hit math, all lanes   # masked selects, no branches
+        miss  = environment lookup, all lanes
+        russian-roulette + state update       # masked writes
+
+Dead lanes ride along as masked no-ops (the "fixed-slot pool" strategy from
+SURVEY.md §7 — cheaper than true compaction at these scene sizes); the loop
+exits as soon as every lane terminates, so converged batches stop early.
+
+The estimator clones the reference exactly (cfg.rr_mode="reference"),
+including its quirks:
+  * `path_rgb = payload.radiance` then `path_rgb /= p` at termination
+    (cu:376-387) — the whole path's radiance is divided by the *last*
+    survival probability;
+  * the lobe-selection estimator `brdf = P_s*(spec/spdf) + (1-P_s)*
+    (albedo/dpdf)` evaluated identically regardless of the sampled lobe
+    (cu:800), with the throughput cosine taken against the *specular*
+    direction even for diffuse bounces (`IdotN`, cu:776, 860);
+  * glass bounces bypass the attenuation update entirely (cu:804-856);
+  * max_depth counts down and termination triggers at depth <= 0 in the
+    closest-hit program (cu:360, 395, 738).
+`cfg.rr_mode="standard"` instead applies textbook unbiased Russian roulette.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.ops.intersect import Hit, intersect_scene
+from tpu_pathtracer.render import bsdf
+from tpu_pathtracer.render.envmap import eval_env
+from tpu_pathtracer.render.texsample import material_property
+from tpu_pathtracer.scene.scene import Scene
+from tpu_pathtracer.utils import math as vm
+from tpu_pathtracer.utils import rng
+
+
+# ---------------------------------------------------------------------------
+# Ray generation (reference __raygen__rg, cu:297-347)
+# ---------------------------------------------------------------------------
+
+def generate_camera_rays(
+    cam: dict,
+    pixel_x: jnp.ndarray,   # [N] i32
+    pixel_y: jnp.ndarray,   # [N] i32
+    seeds: jnp.ndarray,     # [N] u32
+    cfg: RenderConfig,
+):
+    """Primary rays with sub-pixel jitter AA and optional thin-lens DOF.
+
+    cam: {"eye","U","V","W"} float32 [3] arrays (sutil UVW frame).
+    Returns (origins [N,3], directions [N,3], seeds).
+    """
+    eye, u_vec, v_vec, w_vec = cam["eye"], cam["U"], cam["V"], cam["W"]
+    width = jnp.float32(cfg.width)
+    height = jnp.float32(cfg.height)
+
+    seeds, jx, jy = rng.uniform2(seeds)
+    # NDC in [-1,1] (cu:332)
+    dx = 2.0 * (pixel_x.astype(jnp.float32) + jx) / width - 1.0
+    dy = 2.0 * (pixel_y.astype(jnp.float32) + jy) / height - 1.0
+
+    target = dx[:, None] * u_vec + dy[:, None] * v_vec + w_vec
+
+    if cfg.dof:
+        # defocus_disk_sample (cu:279-294).  The reference passes the seed
+        # *by value*, so these two draws do not advance the main chain —
+        # reproduced via a discarded local chain.
+        local = seeds
+        local, r_u = rng.uniform(local)
+        local, theta_u = rng.uniform(local)
+        r = jnp.sqrt(r_u)
+        theta = 2.0 * jnp.pi * theta_u
+        # radius ~ u^(1/4): the reference applies sqrt twice (cu:282, 288)
+        radius = cfg.dof_blurriness * jnp.sqrt(r)
+        off = (radius * jnp.cos(theta))[:, None] * u_vec + (
+            radius * jnp.sin(theta)
+        )[:, None] * v_vec
+        directions = vm.normalize(cfg.focus_distance * target - off)
+        origins = off + eye
+    else:
+        directions = vm.normalize(target)
+        origins = jnp.broadcast_to(eye, directions.shape)
+
+    return origins, directions, seeds
+
+
+# ---------------------------------------------------------------------------
+# Closest-hit shading (reference __closesthit__radiance, cu:616-872)
+# ---------------------------------------------------------------------------
+
+def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds, depth):
+    """Vectorized closest-hit program.  Everything computed for all lanes;
+    the caller selects with hit/terminated masks.
+
+    Returns dict with: new_origin, new_direction, new_attenuation_factor
+    ([N,3], multiplied into attenuation where `att_ok`), att_ok [N],
+    add_radiance_emissive [N,3] (times attenuation, where `emissive`),
+    emissive [N], done [N], seeds.
+    """
+    prim = jnp.maximum(hit.prim, 0)  # safe gather index for miss lanes
+    tri_v = scene.vertices[prim]     # [N,3,3]
+    tri_n = scene.normals[prim]
+    tri_uv = scene.uvs[prim]
+    mat = scene.mat_ids[prim]        # [N]
+    m = scene.materials
+
+    ray_dir = directions
+    v0, v1, v2 = tri_v[:, 0], tri_v[:, 1], tri_v[:, 2]
+
+    # Flat geometric normal, face-forwarded against the ray (cu:637-638).
+    flat_n = vm.normalize(jnp.cross(v1 - v0, v2 - v0))
+    flat_n = vm.faceforward(flat_n, -ray_dir, flat_n)
+
+    # Barycentric interpolation (cu:648-662); OptiX layout: (beta, gamma).
+    beta = hit.bary[:, 0]
+    gamma = hit.bary[:, 1]
+    alpha_b = 1.0 - beta - gamma
+    w_interp = jnp.stack([alpha_b, beta, gamma], axis=-1)     # [N,3]
+
+    uv = jnp.einsum("nk,nkc->nc", w_interp, tri_uv)           # [N,2]
+    tex_u = uv[:, 0]
+    tex_v = (1.0 - uv[:, 1]) if cfg.flip_v else uv[:, 1]      # cu:659
+
+    normal_raw = jnp.einsum("nk,nkc->nc", w_interp, tri_n)
+    degenerate = vm.length(normal_raw) <= 0.01                # cu:664-669
+    normal = vm.normalize(normal_raw)
+    # Backfacing smooth normal -> flat normal (cu:673-675).
+    normal = jnp.where((vm.dot(normal, ray_dir) > 0.0)[:, None], flat_n, normal)
+
+    hit_pos = origins + hit.t[:, None] * ray_dir
+
+    # ---- texture-driven material properties (cu:682-717) -------------
+    pool = m.texture_pool
+    def prop(kind: int, fallback):
+        return material_property(
+            pool,
+            m.has_map[mat, kind],
+            m.map_offset[mat, kind],
+            m.map_width[mat, kind],
+            m.map_height[mat, kind],
+            fallback,
+            tex_u,
+            tex_v,
+        )
+
+    diffuse_albedo = prop(0, m.diffuse_color[mat])
+
+    nmap_fallback = jnp.broadcast_to(
+        jnp.array([0.0, 1.0, 0.0], jnp.float32), normal.shape
+    )
+    nmap = prop(2, nmap_fallback)
+    has_nmap = m.has_map[mat, 2]
+    # Decode 2n-1 and swap Y/Z channels (cu:691-694).
+    decoded = vm.normalize(2.0 * nmap - 1.0)
+    decoded = jnp.stack([decoded[..., 0], decoded[..., 2], decoded[..., 1]], axis=-1)
+    nmap = jnp.where(has_nmap[:, None], decoded, nmap)
+    # Rotate into the shading frame and blend at fixed strength (cu:697-701).
+    tang, binorm = vm.onb_from_normal(normal)
+    nmap_world = vm.onb_transform(nmap, tang, normal, binorm)
+    s = cfg.normal_map_strength
+    normal = vm.normalize(s * nmap_world + (1.0 - s) * normal)
+
+    specular_albedo = diffuse_albedo                          # cu:702
+    emission_color = m.emission_color[mat]                    # [N,3]
+
+    roughness = prop(1, jnp.broadcast_to(m.roughness[mat, None], (mat.shape[0], 3)))[:, 0]
+    metallicity = prop(3, jnp.broadcast_to(m.metallic[mat, None], (mat.shape[0], 3)))[:, 0]
+    transparency = m.transparent[mat]
+    ior = cfg.ior
+
+    # Emissive hit terminates the path (cu:725-731).
+    emissive = vm.length(emission_color) > 0.0001
+
+    if cfg.seed_advance_quirk:
+        seeds, _ = rng.random_in_unit_sphere(seeds)           # cu:733
+
+    roughness = jnp.clip(roughness, cfg.roughness_min, cfg.roughness_max)
+    depth_done = depth <= 0                                   # cu:738
+
+    # ---- GGX importance sampling (cu:740-757) -------------------------
+    seeds, r1, r2 = rng.uniform2(seeds)
+    alpha = roughness * roughness
+    half_local = bsdf.ggx_importance_sample(r1, r2, alpha)
+    tang2, binorm2 = vm.onb_from_normal(normal)
+    half_vec = vm.onb_transform(half_local, tang2, normal, binorm2)
+
+    light_dir = vm.reflect(ray_dir, half_vec)
+    seeds, r3, r4 = rng.uniform2(seeds)
+    light_dir_diffuse = vm.onb_transform(
+        rng.cosine_sample_hemisphere(r3, r4), tang2, normal, binorm2
+    )
+
+    # ---- specular BRDF (cu:759-768) -----------------------------------
+    f0_scalar = ((1.0 - ior) / (1.0 + ior)) ** 2
+    f0 = jnp.full_like(diffuse_albedo, f0_scalar)
+    f0 = vm.lerp(f0, specular_albedo, metallicity[:, None])
+    ndotv_raw = vm.dot(normal, -ray_dir)
+    f_vec = bsdf.fresnel_schlick(jnp.maximum(ndotv_raw, 0.0), f0)
+    d_term = bsdf.d_ggx(normal, half_vec, alpha)
+    g_term = bsdf.g_smith(alpha, normal, -ray_dir, light_dir)
+    denom = 4.0 * jnp.abs(ndotv_raw) * jnp.abs(vm.dot(normal, light_dir))
+    brdf_specular = f_vec * (d_term * g_term / jnp.maximum(denom, 1e-10))[:, None]
+
+    ndoth = jnp.maximum(vm.dot(normal, half_vec), 1e-10)
+    vdoth = jnp.maximum(vm.dot(-ray_dir, half_vec), 1e-10)
+    ndotv = jnp.maximum(ndotv_raw, 0.0)
+    idotn = jnp.abs(vm.dot(normal, vm.normalize(light_dir)))  # cu:776 (always
+    #                                           the *specular* direction)
+    f_blend = bsdf.fresnel_schlick_scalar(ndotv, ior)
+
+    # ---- lobe selection (cu:779-796) -----------------------------------
+    spec_prob = metallicity + (1.0 - metallicity) * f_blend
+    spdf = bsdf.ggx_pdf(d_term, ndoth, vdoth)
+    dpdf = 1.0 / jnp.pi
+    seeds, u_lobe = rng.uniform(seeds)
+    choose_spec = u_lobe < spec_prob
+    dir_surface = jnp.where(
+        choose_spec[:, None],
+        vm.normalize(light_dir),
+        vm.normalize(light_dir_diffuse),
+    )
+
+    # Deterministic two-lobe blend (cu:800) — evaluated the same whichever
+    # lobe was sampled.
+    brdf_combined = (
+        spec_prob[:, None] * (brdf_specular / jnp.maximum(spdf, 1e-20)[:, None])
+        + (1.0 - spec_prob)[:, None] * (diffuse_albedo / dpdf)
+    )
+
+    # ---- glass branch (cu:804-856) --------------------------------------
+    glass = transparency > 0.5
+    cos_theta_i = vm.dot(normal, -ray_dir)
+    inside = cos_theta_i < 0.0
+    cos_i = jnp.abs(cos_theta_i)
+    n_glass = jnp.where(inside[:, None], -normal, normal)
+    eta_passed = jnp.where(inside, 1.0 / ior, jnp.full_like(cos_i, ior))
+    reflectance = bsdf.fresnel_schlick_scalar(cos_i, ior)     # always `ior`
+    seeds, u_reflect = rng.uniform(seeds)
+    # Reflection reuses the earlier GGX half-vector (same r1/r2/alpha/onb,
+    # cu:832-837) — i.e. exactly `light_dir`.
+    refr_dir, _tir = vm.refract(ray_dir, n_glass, eta_passed)
+    seeds, sphere_pt = rng.random_in_unit_sphere(seeds)
+    # NOTE: the reference leaves the perturbed refraction unnormalized
+    # (its `normalize(refract_dir);` is a no-op statement, cu:847).
+    refr_perturbed = refr_dir + cfg.glass_roughness_perturb * alpha[:, None] * sphere_pt
+    glass_dir = jnp.where((u_reflect < reflectance)[:, None], light_dir, refr_perturbed)
+
+    # ---- combine ---------------------------------------------------------
+    new_direction = jnp.where(glass[:, None], glass_dir, dir_surface)
+    brdf_ok = vm.length(brdf_combined) >= 1e-10               # cu:859
+    att_factor = brdf_combined * idotn[:, None]               # cu:860
+    att_ok = brdf_ok & ~glass & ~emissive & ~degenerate
+
+    done = degenerate | emissive | depth_done
+
+    return dict(
+        new_origin=hit_pos,
+        new_direction=new_direction,
+        att_factor=att_factor,
+        att_ok=att_ok,
+        emission=emission_color,
+        emissive=emissive & ~degenerate,
+        degenerate=degenerate,
+        done=done,
+        seeds=seeds,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The bounce loop (reference raygen loop, cu:362-396)
+# ---------------------------------------------------------------------------
+
+def render_rays(
+    scene: Scene,
+    cfg: RenderConfig,
+    origins: jnp.ndarray,     # [N,3]
+    directions: jnp.ndarray,  # [N,3]
+    seeds: jnp.ndarray,       # [N] u32
+) -> jnp.ndarray:
+    """Trace a batch of primary rays to completion; returns radiance [N,3]."""
+    n = origins.shape[0]
+    state = dict(
+        origin=origins,
+        direction=directions,
+        attenuation=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        seeds=seeds,
+        depth=jnp.full((n,), cfg.max_depth, jnp.int32),
+        terminated=jnp.zeros((n,), bool),
+        result=jnp.zeros((n, 3), jnp.float32),
+        bounce=jnp.int32(0),
+    )
+
+    max_traces = cfg.max_depth + 2  # depth<=0 forces done; +1 safety
+
+    def cond(st):
+        return (~jnp.all(st["terminated"])) & (st["bounce"] < max_traces)
+
+    def body(st):
+        live = ~st["terminated"]
+
+        hit = intersect_scene(
+            scene, st["origin"], st["direction"], cfg.t_min, cfg.t_max, cfg
+        )
+
+        # -- miss program (cu:531-567): radiance += att * env; done ------
+        env_rad = eval_env(scene.env, st["direction"], cfg)
+        radiance_miss = st["radiance"] + st["attenuation"] * env_rad
+
+        # -- closest hit --------------------------------------------------
+        sh = _shade(
+            scene, cfg, hit, st["origin"], st["direction"], st["seeds"], st["depth"]
+        )
+
+        hit_m = hit.hit
+        radiance_hit = jnp.where(
+            sh["emissive"][:, None],
+            st["radiance"] + st["attenuation"] * sh["emission"],
+            st["radiance"],
+        )
+        radiance_new = jnp.where(hit_m[:, None], radiance_hit, radiance_miss)
+
+        att_new = jnp.where(
+            (hit_m & sh["att_ok"])[:, None],
+            st["attenuation"] * sh["att_factor"],
+            st["attenuation"],
+        )
+        origin_new = jnp.where(hit_m[:, None], sh["new_origin"], st["origin"])
+        dir_new = jnp.where(hit_m[:, None], sh["new_direction"], st["direction"])
+        done_new = jnp.where(hit_m, sh["done"], True)  # miss always done
+        seeds_new = jnp.where(hit_m, sh["seeds"], st["seeds"])
+
+        # -- Russian roulette (cu:379-387) --------------------------------
+        seeds_new, u_rr = rng.uniform(seeds_new)
+        p = jnp.max(att_new, axis=-1)
+        rr_done = done_new | (u_rr > p)
+
+        newly = live & rr_done
+        if cfg.rr_mode == "reference":
+            # path_rgb = radiance; on termination path_rgb /= p (cu:382-387).
+            p_safe = jnp.where(p > 0.0, p, 1.0)
+            result_terminated = radiance_new / p_safe[:, None]
+        else:
+            # standard: unbiased — survivors divide attenuation by p.
+            result_terminated = radiance_new
+            p_safe = jnp.where(p > 0.0, p, 1.0)
+            att_new = jnp.where(
+                (live & ~rr_done)[:, None], att_new / p_safe[:, None], att_new
+            )
+
+        result = jnp.where(newly[:, None], result_terminated, st["result"])
+        terminated = st["terminated"] | newly
+
+        # -- masked state update (only surviving live lanes advance) ------
+        adv = (live & ~rr_done)[:, None]
+        advs = live & ~rr_done
+        st_new = dict(
+            origin=jnp.where(adv, origin_new, st["origin"]),
+            direction=jnp.where(adv, dir_new, st["direction"]),
+            attenuation=jnp.where(adv, att_new, st["attenuation"]),
+            radiance=jnp.where(adv, radiance_new, st["radiance"]),
+            seeds=jnp.where(live, seeds_new, st["seeds"]),
+            depth=jnp.where(advs, st["depth"] - 1, st["depth"]),
+            terminated=terminated,
+            result=result,
+            bounce=st["bounce"] + 1,
+        )
+        return st_new
+
+    final = jax.lax.while_loop(cond, body, state)
+    # Safety: lanes that somehow never terminated contribute their radiance.
+    return jnp.where(
+        final["terminated"][:, None], final["result"], final["radiance"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame rendering
+# ---------------------------------------------------------------------------
+
+def render_pixels(
+    scene: Scene,
+    cam: dict,
+    cfg: RenderConfig,
+    pixel_ids: jnp.ndarray,   # [Np] i32 flat pixel indices (y*W + x)
+    subframe: jnp.ndarray,    # scalar i32
+) -> jnp.ndarray:
+    """Render `samples_per_launch` samples for each pixel; returns the
+    sample-averaged radiance [Np,3] (the reference's `payload_rgb /
+    sample_batch_count`, cu:397-401)."""
+    spp = cfg.samples_per_launch
+    np_ = pixel_ids.shape[0]
+
+    pixel_rep = jnp.repeat(pixel_ids, spp)                    # [Np*spp]
+    sample_ids = jnp.tile(jnp.arange(spp, dtype=jnp.int32), np_)
+    seeds = rng.make_seeds(pixel_rep, sample_ids, subframe)
+
+    px = pixel_rep % cfg.width
+    py = pixel_rep // cfg.width
+
+    origins, directions, seeds = generate_camera_rays(cam, px, py, seeds, cfg)
+    radiance = render_rays(scene, cfg, origins, directions, seeds)
+    return jnp.mean(radiance.reshape(np_, spp, 3), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame(
+    scene: Scene,
+    cam: dict,
+    cfg: RenderConfig,
+    subframe: jnp.ndarray,
+) -> jnp.ndarray:
+    """One full launch: radiance image [H,W,3] (pre-accumulation)."""
+    n_pix = cfg.width * cfg.height
+    if cfg.tile_pixels and cfg.tile_pixels < n_pix:
+        tile = cfg.tile_pixels
+        if n_pix % tile != 0:
+            raise ValueError("tile_pixels must divide width*height")
+        tiles = n_pix // tile
+        ids = jnp.arange(n_pix, dtype=jnp.int32).reshape(tiles, tile)
+
+        def body(_, pix):
+            return None, render_pixels(scene, cam, cfg, pix, subframe)
+
+        _, out = jax.lax.scan(body, None, ids)
+        img = out.reshape(n_pix, 3)
+    else:
+        ids = jnp.arange(n_pix, dtype=jnp.int32)
+        img = render_pixels(scene, cam, cfg, ids, subframe)
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+def camera_arrays(camera, cfg: RenderConfig) -> dict:
+    """Host camera -> device UVW dict for render_frame."""
+    cam = camera.with_aspect(cfg.width, cfg.height)
+    u, v, w = cam.uvw_frame()
+    return {
+        "eye": jnp.asarray(cam.eye_np()),
+        "U": jnp.asarray(u),
+        "V": jnp.asarray(v),
+        "W": jnp.asarray(w),
+    }
