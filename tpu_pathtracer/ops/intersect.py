@@ -68,6 +68,34 @@ def _mt_block(origins, directions, tri_block, t_min, t_max):
     return t, u, v, valid
 
 
+def _mt_single(origins, directions, tris, t_min, t_max):
+    """Möller–Trumbore with one triangle *per lane*: tris [N,3,3].
+
+    Returns (t, u, v, valid), each [N].  Used by per-ray BVH traversal
+    where every lane is testing a different leaf triangle.
+    """
+    v0 = tris[:, 0, :]
+    e1 = tris[:, 1, :] - v0
+    e2 = tris[:, 2, :] - v0
+    pvec = jnp.cross(directions, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    tvec = origins - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(directions * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return t, u, v, valid
+
+
 def intersect_brute(
     vertices: jnp.ndarray,
     origins: jnp.ndarray,
