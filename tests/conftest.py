@@ -1,12 +1,13 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
 sharding paths (shard_map/pjit over a Mesh) are exercised without TPU
-hardware — the standard JAX trick from SURVEY.md §4."""
+hardware — the standard JAX trick from SURVEY.md §4.
 
-import os
+Note: this environment pre-imports jax from sitecustomize (axon TPU
+plugin), so env vars are too late — use jax.config.update, which works
+as long as no backend has been initialised yet.
+"""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

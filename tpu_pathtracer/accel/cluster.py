@@ -54,10 +54,11 @@ class ClusterAccel:
             jnp.abs(directions) > 1e-12, 1.0 / directions, jnp.inf
         )
 
+        # *_like keeps shard_map varying axes consistent across the carry.
         init = (
-            jnp.full((n,), t_max, jnp.float32),
-            jnp.full((n,), -1, jnp.int32),
-            jnp.zeros((n, 2), jnp.float32),
+            jnp.full_like(origins[:, 0], t_max),
+            jnp.full_like(origins[:, 0], -1, dtype=jnp.int32),
+            jnp.zeros_like(origins[:, :2]),
         )
 
         def body(carry, inp):

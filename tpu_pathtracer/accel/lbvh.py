@@ -49,12 +49,13 @@ class LBVH:
 
         inv_d = jnp.where(jnp.abs(directions) > 1e-12, 1.0 / directions, jnp.inf)
 
+        # *_like keeps shard_map varying axes consistent across the carry.
         state = (
-            jnp.zeros((n,), jnp.int32),                 # ptr
-            jnp.full((n,), t_max, jnp.float32),         # best_t
-            jnp.full((n,), -1, jnp.int32),              # best_prim
-            jnp.zeros((n, 2), jnp.float32),             # best_bary
-            jnp.int32(0),                               # iteration counter
+            jnp.zeros_like(origins[:, 0], dtype=jnp.int32),      # ptr
+            jnp.full_like(origins[:, 0], t_max),                 # best_t
+            jnp.full_like(origins[:, 0], -1, dtype=jnp.int32),   # best_prim
+            jnp.zeros_like(origins[:, :2]),                      # best_bary
+            jnp.int32(0),                                        # iterations
         )
 
         def cond(st):

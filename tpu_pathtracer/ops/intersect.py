@@ -120,10 +120,12 @@ def intersect_brute(
     num_blocks = vertices.shape[0] // block
     tri_blocks = vertices.reshape(num_blocks, block, 3, 3)
 
+    # Derive carries from the ray arrays (not fresh constants) so varying
+    # manual axes propagate correctly under shard_map.
     init = (
-        jnp.full((n,), t_max, jnp.float32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n, 2), jnp.float32),
+        jnp.full_like(origins[:, 0], t_max),
+        jnp.full_like(origins[:, 0], -1, dtype=jnp.int32),
+        jnp.zeros_like(origins[:, :2]),
     )
 
     def body(carry, inp):

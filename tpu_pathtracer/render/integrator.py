@@ -95,7 +95,9 @@ def generate_camera_rays(
         origins = off + eye
     else:
         directions = vm.normalize(target)
-        origins = jnp.broadcast_to(eye, directions.shape)
+        # + 0*directions: ties origins to the per-ray data so shard_map's
+        # varying-axes tracking sees them as device-varying like directions.
+        origins = jnp.broadcast_to(eye, directions.shape) + 0.0 * directions
 
     return origins, directions, seeds
 
@@ -294,16 +296,17 @@ def render_rays(
     seeds: jnp.ndarray,       # [N] u32
 ) -> jnp.ndarray:
     """Trace a batch of primary rays to completion; returns radiance [N,3]."""
-    n = origins.shape[0]
+    # State arrays derive from the inputs (*_like) so varying manual axes
+    # stay consistent when this runs inside shard_map.
     state = dict(
         origin=origins,
         direction=directions,
-        attenuation=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
+        attenuation=jnp.ones_like(origins),
+        radiance=jnp.zeros_like(origins),
         seeds=seeds,
-        depth=jnp.full((n,), cfg.max_depth, jnp.int32),
-        terminated=jnp.zeros((n,), bool),
-        result=jnp.zeros((n, 3), jnp.float32),
+        depth=jnp.full_like(seeds, cfg.max_depth, dtype=jnp.int32),
+        terminated=jnp.zeros_like(seeds, dtype=bool),
+        result=jnp.zeros_like(origins),
         bounce=jnp.int32(0),
     )
 
@@ -400,16 +403,24 @@ def render_pixels(
     cfg: RenderConfig,
     pixel_ids: jnp.ndarray,   # [Np] i32 flat pixel indices (y*W + x)
     subframe: jnp.ndarray,    # scalar i32
+    sample_ids: jnp.ndarray | None = None,  # [S] i32 global sample indices
 ) -> jnp.ndarray:
-    """Render `samples_per_launch` samples for each pixel; returns the
+    """Render one batch of samples for each pixel; returns the
     sample-averaged radiance [Np,3] (the reference's `payload_rgb /
-    sample_batch_count`, cu:397-401)."""
-    spp = cfg.samples_per_launch
+    sample_batch_count`, cu:397-401).
+
+    sample_ids defaults to arange(samples_per_launch); sample-sharded
+    multi-chip rendering passes each device its own global id slice so
+    seeds — and therefore radiance values — are identical to an unsharded
+    run (BASELINE.md reproducibility)."""
+    if sample_ids is None:
+        sample_ids = jnp.arange(cfg.samples_per_launch, dtype=jnp.int32)
+    spp = sample_ids.shape[0]
     np_ = pixel_ids.shape[0]
 
     pixel_rep = jnp.repeat(pixel_ids, spp)                    # [Np*spp]
-    sample_ids = jnp.tile(jnp.arange(spp, dtype=jnp.int32), np_)
-    seeds = rng.make_seeds(pixel_rep, sample_ids, subframe)
+    sample_rep = jnp.tile(sample_ids, np_)
+    seeds = rng.make_seeds(pixel_rep, sample_rep, subframe)
 
     px = pixel_rep % cfg.width
     py = pixel_rep // cfg.width
