@@ -187,9 +187,11 @@ def test_builder_convention_texture_discovery(tmp_path):
     has = np.asarray(s.materials.has_map)
     assert has[0, 0] and not has[0, 1]  # albedo only
     np.testing.assert_allclose(np.asarray(s.materials.diffuse_color)[0], 0.5)
-    pool = np.asarray(s.materials.texture_pool)
-    assert pool.shape[0] == 16
-    np.testing.assert_allclose(pool[0], [1.0, 0.0, 0.0])
+    pool = np.asarray(s.materials.texture_quads)
+    assert pool.shape == (16, 4)  # 4x4 texels, quad-packed
+    # red texel: RGBA8 word r=255, g=0, b=0
+    assert pool[0, 0] & 0xFF == 255
+    assert (pool[0, 0] >> 8) & 0xFFFF == 0
 
 
 def test_builder_mtl_source(tmp_path):

@@ -1,0 +1,145 @@
+"""Runtime tests: progressive driver, checkpoint/resume bitwise identity,
+CLI, viewer endpoints (SURVEY.md §5 aux subsystems)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.render.camera import Camera
+from tpu_pathtracer.runtime.progressive import ProgressiveRenderer
+from tpu_pathtracer.scene.procedural import single_sphere_scene
+
+
+def cfg_(**kw):
+    base = dict(
+        width=32,
+        height=16,
+        samples_per_launch=2,
+        max_depth=3,
+        dof=False,
+        env_mode="constant",
+        intersector="brute",
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return single_sphere_scene(stacks=6, slices=12)
+
+
+def test_progressive_steps_advance(scene):
+    r = ProgressiveRenderer(scene, Camera(), cfg_())
+    r.step()
+    r.step()
+    assert r.subframe == 2
+    assert r.spp == 4
+    assert r.stats()["subframe"] == 2
+
+
+def test_camera_change_resets(scene):
+    r = ProgressiveRenderer(scene, Camera(), cfg_())
+    r.step()
+    r.set_camera(r.camera.orbit(10, 0))
+    assert r.subframe == 0
+    assert float(np.abs(np.asarray(r.accum)).max()) == 0.0
+
+
+def test_checkpoint_resume_bitwise(scene, tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    cfg = cfg_()
+    # straight 4 subframes
+    a = ProgressiveRenderer(scene, Camera(), cfg)
+    for _ in range(4):
+        a.step()
+    # 2 subframes, checkpoint, resume in a fresh renderer, 2 more
+    b = ProgressiveRenderer(scene, Camera(), cfg)
+    b.step()
+    b.step()
+    b.save_checkpoint(ck)
+    c = ProgressiveRenderer(scene, Camera(), cfg)
+    c.load_checkpoint(ck)
+    c.step()
+    c.step()
+    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(c.accum))
+
+
+def test_checkpoint_config_mismatch_rejected(scene, tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    a = ProgressiveRenderer(scene, Camera(), cfg_())
+    a.step()
+    a.save_checkpoint(ck)
+    b = ProgressiveRenderer(scene, Camera(), cfg_(max_depth=5))
+    with pytest.raises(ValueError, match="config mismatch"):
+        b.load_checkpoint(ck)
+
+
+def test_cli_offline_render(scene, tmp_path):
+    from tpu_pathtracer.cli import main
+
+    out = str(tmp_path / "out.png")
+    rc = main(
+        [
+            "--file", out, "--dim=32x16", "-s", "1", "--spp", "2",
+            "--max-depth", "2", "--no-dof", "--env", "constant",
+        ]
+    )
+    assert rc == 0
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (16, 32, 3)
+    assert img.max() > 0
+
+
+def test_cli_dim_validation():
+    from tpu_pathtracer.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--dim", "banana"])
+
+
+def test_viewer_endpoints(scene):
+    from tpu_pathtracer.viewer import serve
+
+    r = ProgressiveRenderer(scene, Camera(), cfg_())
+    httpd, stop = serve(r, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        html = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read()
+        assert b"tpu_pathtracer" in html
+        png = urllib.request.urlopen(f"http://127.0.0.1:{port}/frame.png").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        stats = json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/stats").read()
+        )
+        assert "spp" in stats and "dof" in stats
+        assert (
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/orbit?dyaw=5&dpitch=0").read()
+            == b"ok"
+        )
+        assert (
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/toggle_dof").read()
+            == b"ok"
+        )
+        assert r.cfg.dof  # toggled from False
+    finally:
+        stop.set()
+        httpd.shutdown()
+
+
+def test_count_segments(scene):
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.render.integrator import camera_arrays, count_segments
+
+    cfg = cfg_()
+    cam = camera_arrays(Camera(), cfg)
+    segs = int(count_segments(scene, cam, cfg, jnp.int32(0)))
+    n_primary = cfg.width * cfg.height * cfg.samples_per_launch
+    assert segs >= n_primary          # every path traces at least once
+    assert segs <= n_primary * (cfg.max_depth + 2)

@@ -74,6 +74,7 @@ def build_accel(scene, kind: str = "cluster", **kw):
         normals=jnp.asarray(np.asarray(scene.normals)[perm]),
         uvs=jnp.asarray(np.asarray(scene.uvs)[perm]),
         mat_ids=jnp.asarray(np.asarray(scene.mat_ids)[perm]),
+        tri_attrs=jnp.asarray(np.asarray(scene.tri_attrs)[perm]),
     )
     if kind == "cluster":
         accel = build_cluster_accel(np.asarray(permuted.vertices), **kw)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from tpu_pathtracer.ops.intersect import Hit, _mt_block
+from tpu_pathtracer.ops.intersect import Hit, _mt_block, finalize_hit
 
 
 @struct.dataclass
@@ -50,57 +50,73 @@ class ClusterAccel:
             )
         tri_blocks = vertices.reshape(c, k, 3, 3)
 
-        inv_d = jnp.where(
-            jnp.abs(directions) > 1e-12, 1.0 / directions, jnp.inf
+        ix, iy, iz = (
+            jnp.where(jnp.abs(directions[:, a]) > 1e-12, 1.0 / directions[:, a], jnp.inf)
+            for a in range(3)
         )
+        ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
 
         # *_like keeps shard_map varying axes consistent across the carry.
+        # Reduction-based bookkeeping (no argmin gathers); barycentrics
+        # recomputed once at the end — see intersect_brute.
         init = (
             jnp.full_like(origins[:, 0], t_max),
-            jnp.full_like(origins[:, 0], -1, dtype=jnp.int32),
-            jnp.zeros_like(origins[:, :2]),
+            jnp.full_like(origins[:, 0], jnp.int32(0x7FFFFFFF), dtype=jnp.int32),
         )
 
         def body(carry, inp):
-            best_t, best_prim, best_bary = carry
+            best_t, best_prim = carry
             tri_block, bmin, bmax, base = inp
 
-            # Slab test: does any ray's live [t_min, best_t] segment touch
-            # this cluster's AABB?
-            t0 = (bmin[None, :] - origins) * inv_d     # [N,3]
-            t1 = (bmax[None, :] - origins) * inv_d
-            tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
-            tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            # Slab test (component-unrolled): does any ray's live
+            # [t_min, best_t] segment touch this cluster's AABB?
+            tx0 = (bmin[0] - ox) * ix
+            tx1 = (bmax[0] - ox) * ix
+            ty0 = (bmin[1] - oy) * iy
+            ty1 = (bmax[1] - oy) * iy
+            tz0 = (bmin[2] - oz) * iz
+            tz1 = (bmax[2] - oz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
             overlap = (tnear <= tfar) & (tfar >= t_min) & (tnear <= best_t)
             any_hit = jnp.any(overlap)
 
             def test(carry):
-                best_t, best_prim, best_bary = carry
+                best_t, best_prim = carry
                 t, u, v, valid = _mt_block(
                     origins, directions, tri_block, t_min, t_max
                 )
                 t = jnp.where(valid, t, jnp.inf)
-                j = jnp.argmin(t, axis=1)
-                rows = jnp.arange(n)
-                tj = t[rows, j]
-                closer = tj < best_t
-                best_t = jnp.where(closer, tj, best_t)
-                best_prim = jnp.where(
-                    closer, base + j.astype(jnp.int32), best_prim
+                t_blk = jnp.min(t, axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                prim_blk = jnp.min(
+                    jnp.where(
+                        t == t_blk[:, None], base + lane, jnp.int32(0x7FFFFFFF)
+                    ),
+                    axis=1,
                 )
-                bary_j = jnp.stack([u[rows, j], v[rows, j]], axis=-1)
-                best_bary = jnp.where(closer[:, None], bary_j, best_bary)
-                return best_t, best_prim, best_bary
+                closer = t_blk < best_t
+                return (
+                    jnp.where(closer, t_blk, best_t),
+                    jnp.where(closer, prim_blk, best_prim),
+                )
 
             carry = jax.lax.cond(any_hit, test, lambda x: x, carry)
             return carry, None
 
         bases = (jnp.arange(c) * k).astype(jnp.int32)
-        (best_t, best_prim, best_bary), _ = jax.lax.scan(
+        (best_t, best_prim), _ = jax.lax.scan(
             body, init, (tri_blocks, self.aabb_min, self.aabb_max, bases)
         )
-        hit = best_prim >= 0
-        return Hit(t=best_t, prim=best_prim, bary=best_bary, hit=hit)
+        return finalize_hit(
+            vertices, origins, directions, best_t, best_prim, t_min, t_max
+        )
 
 
 def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128) -> ClusterAccel:

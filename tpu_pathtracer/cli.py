@@ -1,0 +1,213 @@
+"""Command-line renderer.
+
+Superset of the reference CLI (reference optixSphere.cpp:124-131,
+1319-1356): `--file/-f`, `--dim=WxH`, `--launch-samples/-s` (which the
+reference parses but never uses — here it works), plus everything the
+reference hard-codes: scene OBJ list (cpp:829-835), scale (cpp:841), env
+map (cpp:835), camera pose (cpp:104-107), spp/depth (cu:323,360), DOF
+toggle (key G, cpp:217-221), and checkpoint/resume.
+
+Examples:
+    python -m tpu_pathtracer.cli --file out.png --dim=512x384 \
+        --scene /root/reference/monkey.obj --spp 64
+    python -m tpu_pathtracer.cli --interactive --scene ...   # web viewer
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_pathtracer",
+        description="TPU-native wavefront path tracer",
+    )
+    p.add_argument("--file", "-f", default="", help="output image (png/ppm/exr); empty = interactive")
+    p.add_argument("--dim", default="1600x1200", help="image dimensions WxH (reference default 1600x1200)")
+    p.add_argument("--launch-samples", "-s", type=int, default=10, help="samples per launch (reference hard-codes 10)")
+    p.add_argument("--spp", type=int, default=0, help="total samples/pixel for offline render (0 = one launch)")
+    p.add_argument("--max-depth", type=int, default=20, help="max path depth (reference: 20)")
+    p.add_argument("--scene", nargs="*", default=[], help="OBJ files (default: procedural three-spheres scene)")
+    p.add_argument("--scale", type=float, default=1.0, help="uniform scene scale (reference hero scene: 0.05)")
+    p.add_argument("--env", default="procedural", help="HDR .exr path | procedural | sunsky | constant")
+    p.add_argument("--eye", default="0,2,6", help="camera eye (reference default 0,2,6)")
+    p.add_argument("--lookat", default="0,0,0", help="camera look-at")
+    p.add_argument("--fov", type=float, default=50.0, help="vertical FOV degrees")
+    p.add_argument("--dof", action=argparse.BooleanOptionalAction, default=True, help="thin-lens depth of field (reference default on)")
+    p.add_argument("--accel", default="cluster", choices=["brute", "cluster", "bvh"], help="intersection structure")
+    p.add_argument("--materials", default="convention", choices=["convention", "mtl"], help="material source for OBJ scenes")
+    p.add_argument("--rr-mode", default="reference", choices=["reference", "standard"])
+    p.add_argument("--tile-pixels", type=int, default=0, help="pixels per launch tile (0 = whole frame)")
+    p.add_argument("--checkpoint", default="", help="checkpoint file; saved every --checkpoint-every subframes")
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    p.add_argument("--shard", default="none", choices=["none", "pixels", "samples"], help="multi-chip sharding mode")
+    p.add_argument("--profile", default="", help="capture an XLA trace to this TensorBoard logdir")
+    p.add_argument("--interactive", action="store_true", help="serve the interactive web viewer")
+    p.add_argument("--port", type=int, default=8000, help="viewer port")
+    p.add_argument("--seed", type=int, default=0, help="seed for random (untextured) materials")
+    p.add_argument("--verbosity", type=int, default=4)
+    return p
+
+
+def parse_dim(s: str):
+    try:
+        w, h = s.lower().split("x")
+        return int(w), int(h)
+    except ValueError:
+        raise SystemExit(f"invalid --dim {s!r}; expected WxH like 1600x1200")
+
+
+def parse_vec3(s: str):
+    parts = [float(x) for x in s.split(",")]
+    if len(parts) != 3:
+        raise SystemExit(f"invalid vec3 {s!r}; expected x,y,z")
+    return tuple(parts)
+
+
+def build_from_args(args):
+    """(scene, camera, cfg) from parsed CLI args."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.accel.build import build_accel
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.envmap import build_env_cdf
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils import logging as plog
+    from tpu_pathtracer.utils.image import load_exr, procedural_hdr
+
+    plog.set_verbosity(args.verbosity)
+    width, height = parse_dim(args.dim)
+
+    env_mode = "equirect"
+    env = None
+    if args.env == "procedural":
+        env = make_env(procedural_hdr(256, 512))
+    elif args.env in ("sunsky", "constant"):
+        env_mode = args.env
+    else:
+        env = make_env(load_exr(args.env))
+        plog.info("scene", f"loaded env map {args.env} {env.data.shape}")
+
+    cfg = RenderConfig(
+        width=width,
+        height=height,
+        samples_per_launch=args.launch_samples,
+        max_depth=args.max_depth,
+        dof=args.dof,
+        env_mode=env_mode,
+        rr_mode=args.rr_mode,
+        intersector=args.accel if args.scene else "brute",
+        tile_pixels=args.tile_pixels,
+    )
+
+    if args.scene:
+        from tpu_pathtracer.scene.builder import load_scene
+
+        scene = load_scene(
+            args.scene,
+            scale=args.scale,
+            env=env,
+            material_source=args.materials,
+            rng_seed=args.seed,
+        )
+        plog.info(
+            "scene",
+            f"loaded {scene.num_triangles} triangles, "
+            f"{scene.materials.num_materials} materials from {len(args.scene)} files",
+        )
+        if args.accel != "brute":
+            scene = build_accel(scene, kind=args.accel)
+            plog.info("accel", f"built {args.accel} accel")
+    else:
+        from tpu_pathtracer.scene.procedural import three_spheres_scene
+
+        scene = three_spheres_scene()
+        if env is not None:
+            scene = scene.replace(env=env)
+        plog.info("scene", f"procedural scene: {scene.num_triangles} triangles")
+
+    camera = Camera(
+        eye=parse_vec3(args.eye),
+        lookat=parse_vec3(args.lookat),
+        fov_y=args.fov,
+    ).with_aspect(width, height)
+    return scene, camera, cfg
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    from tpu_pathtracer.runtime.progressive import ProgressiveRenderer
+    from tpu_pathtracer.utils import logging as plog
+    from tpu_pathtracer.utils.image import save_image
+
+    scene, camera, cfg = build_from_args(args)
+
+    mesh = None
+    if args.shard != "none":
+        import jax
+
+        from tpu_pathtracer.parallel.shard import make_mesh
+
+        mesh = make_mesh()
+        plog.info("shard", f"{args.shard}-sharding over {len(jax.devices())} devices")
+
+    renderer = ProgressiveRenderer(
+        scene, camera, cfg, mesh=mesh,
+        shard_mode=args.shard if args.shard != "none" else "pixels",
+    )
+
+    if args.resume and args.checkpoint:
+        renderer.load_checkpoint(args.checkpoint)
+
+    if args.interactive:
+        from tpu_pathtracer.viewer import serve
+
+        serve(renderer, port=args.port)
+        return 0
+
+    total_spp = args.spp if args.spp > 0 else cfg.samples_per_launch
+
+    def run():
+        spp_per_frame = cfg.samples_per_launch
+        n_frames = max(1, -(-total_spp // spp_per_frame))
+        while renderer.subframe < n_frames:
+            renderer.step()
+            if renderer.subframe % 10 == 0 or renderer.subframe == n_frames:
+                st = renderer.stats()
+                plog.info(
+                    "render",
+                    f"subframe {renderer.subframe}/{n_frames} "
+                    f"({st.get('ms_per_frame', 0):.1f} ms/frame, "
+                    f"{st.get('paths_per_sec', 0)/1e6:.2f} Mpaths/s)",
+                )
+            if (
+                args.checkpoint
+                and renderer.subframe % args.checkpoint_every == 0
+            ):
+                renderer.save_checkpoint(args.checkpoint)
+
+    if args.profile:
+        from tpu_pathtracer.runtime.profiler import xla_trace
+
+        with xla_trace(args.profile):
+            run()
+    else:
+        run()
+
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+
+    outfile = args.file or "out.png"
+    save_image(outfile, renderer.image_u8())
+    plog.info("output", f"wrote {outfile} ({renderer.spp} spp)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

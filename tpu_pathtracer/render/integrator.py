@@ -115,12 +115,20 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
     add_radiance_emissive [N,3] (times attenuation, where `emissive`),
     emissive [N], done [N], seeds.
     """
+    from tpu_pathtracer.ops.gather import gather_rows
+    from tpu_pathtracer.scene import scene as S
+
     prim = jnp.maximum(hit.prim, 0)  # safe gather index for miss lanes
-    tri_v = scene.vertices[prim]     # [N,3,3]
-    tri_n = scene.normals[prim]
-    tri_uv = scene.uvs[prim]
-    mat = scene.mat_ids[prim]        # [N]
+    # One packed lookup per table: triangle attributes ([T,32] row) and
+    # material constants ([M,32] row), each a single one-hot MXU matmul
+    # (or merged row gather for huge T) — see ops/gather.py.
+    ta = gather_rows(scene.tri_attrs, prim)            # [N,32]
+    tri_v = ta[:, S.TRI_V].reshape(-1, 3, 3)
+    tri_n = ta[:, S.TRI_N].reshape(-1, 3, 3)
+    tri_uv = ta[:, S.TRI_UV].reshape(-1, 3, 2)
+    mat = ta[:, S.TRI_MAT].astype(jnp.int32)           # [N]
     m = scene.materials
+    ma = gather_rows(m.attrs, mat)                     # [N,32]
 
     ray_dir = directions
     v0, v1, v2 = tri_v[:, 0], tri_v[:, 1], tri_v[:, 2]
@@ -148,26 +156,31 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
     hit_pos = origins + hit.t[:, None] * ray_dir
 
     # ---- texture-driven material properties (cu:682-717) -------------
-    pool = m.texture_pool
+    pool = m.texture_quads
+    has_map = ma[:, S.MAT_HAS_MAP] > 0.5               # [N,4]
+    map_off = ma[:, S.MAT_MAP_OFFSET].astype(jnp.int32)
+    map_w = ma[:, S.MAT_MAP_WIDTH].astype(jnp.int32)
+    map_h = ma[:, S.MAT_MAP_HEIGHT].astype(jnp.int32)
+
     def prop(kind: int, fallback):
         return material_property(
             pool,
-            m.has_map[mat, kind],
-            m.map_offset[mat, kind],
-            m.map_width[mat, kind],
-            m.map_height[mat, kind],
+            has_map[:, kind],
+            map_off[:, kind],
+            map_w[:, kind],
+            map_h[:, kind],
             fallback,
             tex_u,
             tex_v,
         )
 
-    diffuse_albedo = prop(0, m.diffuse_color[mat])
+    diffuse_albedo = prop(0, ma[:, S.MAT_DIFFUSE])
 
     nmap_fallback = jnp.broadcast_to(
         jnp.array([0.0, 1.0, 0.0], jnp.float32), normal.shape
     )
     nmap = prop(2, nmap_fallback)
-    has_nmap = m.has_map[mat, 2]
+    has_nmap = has_map[:, 2]
     # Decode 2n-1 and swap Y/Z channels (cu:691-694).
     decoded = vm.normalize(2.0 * nmap - 1.0)
     decoded = jnp.stack([decoded[..., 0], decoded[..., 2], decoded[..., 1]], axis=-1)
@@ -179,11 +192,11 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
     normal = vm.normalize(s * nmap_world + (1.0 - s) * normal)
 
     specular_albedo = diffuse_albedo                          # cu:702
-    emission_color = m.emission_color[mat]                    # [N,3]
+    emission_color = ma[:, S.MAT_EMISSION]                    # [N,3]
 
-    roughness = prop(1, jnp.broadcast_to(m.roughness[mat, None], (mat.shape[0], 3)))[:, 0]
-    metallicity = prop(3, jnp.broadcast_to(m.metallic[mat, None], (mat.shape[0], 3)))[:, 0]
-    transparency = m.transparent[mat]
+    roughness = prop(1, jnp.broadcast_to(ma[:, S.MAT_ROUGHNESS, None], (mat.shape[0], 3)))[:, 0]
+    metallicity = prop(3, jnp.broadcast_to(ma[:, S.MAT_METALLIC, None], (mat.shape[0], 3)))[:, 0]
+    transparency = ma[:, S.MAT_TRANSPARENT]
     ior = cfg.ior
 
     # Emissive hit terminates the path (cu:725-731).
@@ -391,6 +404,89 @@ def render_rays(
     return jnp.where(
         final["terminated"][:, None], final["result"], final["radiance"]
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def count_segments(
+    scene: Scene,
+    cam: dict,
+    cfg: RenderConfig,
+    subframe: jnp.ndarray,
+) -> jnp.ndarray:
+    """Count traced ray segments for one launch (for Mrays/s metrics).
+
+    Runs the same bounce loop as render_rays but carries only what is
+    needed to reproduce the termination pattern; returns the total number
+    of (ray, bounce) segments — the "rays" in rays-per-second.
+    """
+    n_pix = cfg.width * cfg.height
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    spp = cfg.samples_per_launch
+    pixel_rep = jnp.repeat(pixel_ids, spp)
+    sample_rep = jnp.tile(jnp.arange(spp, dtype=jnp.int32), n_pix)
+    seeds = rng.make_seeds(pixel_rep, sample_rep, subframe)
+    px = pixel_rep % cfg.width
+    py = pixel_rep // cfg.width
+    origins, directions, seeds = generate_camera_rays(cam, px, py, seeds, cfg)
+
+    state = dict(
+        origin=origins,
+        direction=directions,
+        attenuation=jnp.ones_like(origins),
+        radiance=jnp.zeros_like(origins),
+        seeds=seeds,
+        depth=jnp.full_like(seeds, cfg.max_depth, dtype=jnp.int32),
+        terminated=jnp.zeros_like(seeds, dtype=bool),
+        result=jnp.zeros_like(origins),
+        bounce=jnp.int32(0),
+        segments=jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0),
+    )
+    max_traces = cfg.max_depth + 2
+
+    def cond(st):
+        return (~jnp.all(st["terminated"])) & (st["bounce"] < max_traces)
+
+    def body(st):
+        segments = st["segments"] + jnp.sum(
+            (~st["terminated"]).astype(st["segments"].dtype)
+        )
+        inner = {k: v for k, v in st.items() if k != "segments"}
+        hit = intersect_scene(
+            scene, st["origin"], st["direction"], cfg.t_min, cfg.t_max, cfg
+        )
+        env_rad = eval_env(scene.env, st["direction"], cfg)
+        sh = _shade(
+            scene, cfg, hit, st["origin"], st["direction"], st["seeds"], st["depth"]
+        )
+        live = ~st["terminated"]
+        hit_m = hit.hit
+        att_new = jnp.where(
+            (hit_m & sh["att_ok"])[:, None],
+            st["attenuation"] * sh["att_factor"],
+            st["attenuation"],
+        )
+        done_new = jnp.where(hit_m, sh["done"], True)
+        seeds_new = jnp.where(hit_m, sh["seeds"], st["seeds"])
+        seeds_new, u_rr = rng.uniform(seeds_new)
+        p = jnp.max(att_new, axis=-1)
+        rr_done = done_new | (u_rr > p)
+        adv = (live & ~rr_done)[:, None]
+        advs = live & ~rr_done
+        return dict(
+            origin=jnp.where(adv, sh["new_origin"], st["origin"]),
+            direction=jnp.where(adv, sh["new_direction"], st["direction"]),
+            attenuation=jnp.where(adv, att_new, st["attenuation"]),
+            radiance=st["radiance"],
+            seeds=jnp.where(live, seeds_new, st["seeds"]),
+            depth=jnp.where(advs, st["depth"] - 1, st["depth"]),
+            terminated=st["terminated"] | (live & rr_done),
+            result=st["result"],
+            bounce=st["bounce"] + 1,
+            segments=segments,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["segments"]
 
 
 # ---------------------------------------------------------------------------

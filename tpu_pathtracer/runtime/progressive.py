@@ -1,0 +1,164 @@
+"""Progressive rendering driver: the per-frame loop, camera-change
+accumulation reset, checkpoint/resume, and per-frame metrics.
+
+Replaces the reference's interactive loop state machine (reference
+optixSphere.cpp:1360-1442): `updateState` resets `subframe_index` to 0 on
+camera change or resize (cpp:267-278), every launch accumulates via EWMA
+(optixSphere.cu:400-409), and `sutil::displayStats` shows frame timing
+(cpp:1431).
+
+The renderer's full state is (accumulation buffer, subframe index, camera,
+config) — counter-based RNG makes that sufficient to resume *bitwise*
+identically, which gives the checkpoint/resume + elastic-recovery story
+the reference lacks (SURVEY.md §5): kill the process at any subframe,
+reload, and the remaining subframes produce the same image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.render.camera import Camera
+from tpu_pathtracer.render.film import accumulate, post_process, to_uint8
+from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+from tpu_pathtracer.utils import logging as plog
+
+
+class ProgressiveRenderer:
+    """Owns the accumulation buffer and the subframe counter."""
+
+    def __init__(self, scene, camera: Camera, cfg: RenderConfig, mesh=None, shard_mode: str = "pixels"):
+        self.scene = scene
+        self.cfg = cfg
+        self.camera = camera.with_aspect(cfg.width, cfg.height)
+        self.mesh = mesh
+        self.shard_mode = shard_mode
+        self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self.subframe = 0
+        self._cam_arrays = camera_arrays(self.camera, cfg)
+        self.frame_times: list[float] = []
+
+    # -- camera interaction (reference cpp:238-278) ----------------------
+    def set_camera(self, camera: Camera) -> None:
+        """Camera change resets accumulation (cpp:270-271)."""
+        self.camera = camera.with_aspect(self.cfg.width, self.cfg.height)
+        self._cam_arrays = camera_arrays(self.camera, self.cfg)
+        self.reset()
+
+    def reset(self) -> None:
+        self.accum = jnp.zeros_like(self.accum)
+        self.subframe = 0
+        self.frame_times.clear()
+
+    # -- the per-frame step (cpp:1390-1437) -------------------------------
+    def step(self) -> jnp.ndarray:
+        """Render one launch, accumulate, advance subframe; returns accum."""
+        t0 = time.perf_counter()
+        if self.mesh is not None:
+            from tpu_pathtracer.parallel.shard import render_frame_sharded
+
+            frame = render_frame_sharded(
+                self.scene,
+                self._cam_arrays,
+                self.cfg,
+                jnp.int32(self.subframe),
+                self.mesh,
+                mode=self.shard_mode,
+            )
+        else:
+            frame = render_frame(
+                self.scene, self._cam_arrays, self.cfg, jnp.int32(self.subframe)
+            )
+        self.accum = accumulate(self.accum, frame, self.subframe)
+        self.accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        self.frame_times.append(dt)
+        self.subframe += 1
+        return self.accum
+
+    def render_spp(self, total_spp: int, log_every: int = 10) -> jnp.ndarray:
+        """Progressive loop until >= total_spp samples accumulated."""
+        spp_per_frame = self.cfg.samples_per_launch
+        n_frames = max(1, -(-total_spp // spp_per_frame))
+        for k in range(n_frames - self.subframe):
+            self.step()
+            if log_every and self.subframe % log_every == 0:
+                plog.info(
+                    "progressive",
+                    f"subframe {self.subframe}/{n_frames} "
+                    f"({self.subframe * spp_per_frame} spp, "
+                    f"{self.frame_times[-1]*1e3:.1f} ms/frame)",
+                )
+        return self.accum
+
+    @property
+    def spp(self) -> int:
+        return self.subframe * self.cfg.samples_per_launch
+
+    def image_u8(self) -> np.ndarray:
+        """Post-processed display image (row 0 = top, PNG convention)."""
+        out = to_uint8(post_process(self.accum, self.cfg))
+        return np.asarray(out)[::-1]
+
+    def stats(self) -> dict:
+        times = self.frame_times[1:] or self.frame_times  # drop compile
+        if not times:
+            return {}
+        mean_t = float(np.mean(times))
+        n_paths = self.cfg.width * self.cfg.height * self.cfg.samples_per_launch
+        return {
+            "subframe": self.subframe,
+            "spp": self.spp,
+            "ms_per_frame": mean_t * 1e3,
+            "paths_per_sec": n_paths / mean_t,
+        }
+
+    # -- checkpoint / resume (SURVEY.md §5) --------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        meta = {
+            "subframe": self.subframe,
+            "camera": dataclasses.asdict(self.camera),
+            "config": dataclasses.asdict(self.cfg),
+            "version": 1,
+        }
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self.accum),
+            meta=json.dumps(meta),
+        )
+        plog.info("checkpoint", f"saved {path} @ subframe {self.subframe}")
+
+    def load_checkpoint(self, path: str) -> None:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        # JSON roundtrip turns tuples into lists; normalise both sides.
+        cfg_d = json.loads(json.dumps(dataclasses.asdict(self.cfg)))
+        if meta["config"] != cfg_d:
+            diff = {
+                k: (meta["config"].get(k), cfg_d[k])
+                for k in cfg_d
+                if meta["config"].get(k) != cfg_d[k]
+            }
+            raise ValueError(f"checkpoint config mismatch: {diff}")
+        self.accum = jnp.asarray(data["accum"])
+        self.subframe = int(meta["subframe"])
+        cam_meta = meta["camera"]
+        self.camera = Camera(
+            eye=tuple(cam_meta["eye"]),
+            lookat=tuple(cam_meta["lookat"]),
+            up=tuple(cam_meta["up"]),
+            fov_y=cam_meta["fov_y"],
+            aspect=cam_meta["aspect"],
+        )
+        self._cam_arrays = camera_arrays(self.camera, self.cfg)
+        plog.info("checkpoint", f"resumed {path} @ subframe {self.subframe}")

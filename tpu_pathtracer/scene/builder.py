@@ -39,7 +39,8 @@ _KINDS = ("albedo", "roughness", "normal", "metallic")
 
 
 class TexturePoolBuilder:
-    """Accumulates texture images into one flat [P,3] pool."""
+    """Accumulates texture images into one flat [P,4] quad-packed pool
+    (see scene.make_texture_quads for the TPU layout rationale)."""
 
     def __init__(self):
         self.rows: List[np.ndarray] = []
@@ -52,18 +53,20 @@ class TexturePoolBuilder:
             return None
         if path in self._cache:
             return self._cache[path]
+        from tpu_pathtracer.scene.scene import make_texture_quads
+
         img = load_image(path)  # [H,W,3] f32
         h, w = img.shape[:2]
-        flat = img.reshape(-1, 3).astype(np.float32)
+        quads = make_texture_quads(img)
         desc = (self.offset, w, h)
-        self.rows.append(flat)
-        self.offset += flat.shape[0]
+        self.rows.append(quads)
+        self.offset += quads.shape[0]
         self._cache[path] = desc
         return desc
 
     def build(self) -> np.ndarray:
         if not self.rows:
-            return np.zeros((1, 3), np.float32)
+            return np.zeros((1, 4), np.uint32)
         return np.concatenate(self.rows, axis=0)
 
 

@@ -6,17 +6,25 @@ g_texcoords` buffers (reference optixSphere.cpp:845-858), the per-material
 `HitGroupData` SBT records (cpp:1129-1281, optixSphere.h:67-102) and the
 `MissData` env-map record (optixSphere.h:58-63).
 
-Key differences from the reference, by design:
+TPU-specific layout decisions (all measured on v5e, see ops/gather.py):
 
-* One flat texture pool: all texture maps live in a single [P,3] float32
-  buffer addressed by (offset, width, height) per material map.  The
-  reference instead keeps four *global* device pointers shared by every
-  material (cpp:395-398), so multi-file scenes alias the last-loaded maps —
-  a bug we do not reproduce (SURVEY.md "quirks to fix").
-* Materials are a struct-of-arrays table indexed by per-triangle material
-  id — the software analog of per-material SBT hit records.
-* Everything is a JAX pytree, so a Scene can be donated to jit, sharded
-  with shard_map, checkpointed with orbax, etc.
+* **Packed attribute matrices.** Per-triangle shading attributes live in
+  one [T,32] row matrix (`tri_attrs`) and per-material constants in one
+  [M,32] matrix (`MaterialTable.attrs`), so the per-bounce lookup is a
+  single one-hot MXU matmul instead of dozens of latency-bound gathers.
+* **Quad-packed textures.** Every texel row of `texture_quads` holds its
+  full 2x2 bilinear neighbourhood as four RGBA8-packed uint32s, making a
+  bilinear tap ONE gather instead of four.  Texels are 8-bit — exactly
+  the reference's precision, whose textures are all u8 PNGs converted by
+  /255 (reference optixSphere.cpp:366-380).
+* **Quad-packed environment.** Same trick at float32 precision for the
+  HDR env map (`EnvironmentMap.quads`, [H*W,12]).
+* One flat texture pool addressed by (offset, width, height) per material
+  map — the reference instead shares four *global* device pointers across
+  all materials (cpp:395-398), aliasing multi-file scenes; fixed here.
+
+Everything is a JAX pytree: a Scene can be donated to jit, sharded with
+shard_map, and checkpointed.
 """
 
 from __future__ import annotations
@@ -28,49 +36,71 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+# Column layout of MaterialTable.attrs ([M,32]).
+MAT_DIFFUSE = slice(0, 3)
+MAT_SPECULAR = slice(3, 6)
+MAT_EMISSION = slice(6, 9)
+MAT_ROUGHNESS = 9
+MAT_METALLIC = 10
+MAT_TRANSPARENT = 11
+MAT_HAS_MAP = slice(12, 16)     # albedo, roughness, normal, metallic
+MAT_MAP_OFFSET = slice(16, 20)
+MAT_MAP_WIDTH = slice(20, 24)
+MAT_MAP_HEIGHT = slice(24, 28)
+
+# Column layout of Scene.tri_attrs ([T,32]).
+TRI_V = slice(0, 9)       # v0 v1 v2 xyz
+TRI_N = slice(9, 18)      # n0 n1 n2 xyz
+TRI_UV = slice(18, 24)    # uv0 uv1 uv2
+TRI_MAT = 24              # material id (as float)
+
 
 @struct.dataclass
 class MaterialTable:
-    """Per-material constants + texture-map descriptors ([M] each).
+    """Per-material constants + texture-map descriptors.
 
-    Software equivalent of N HitGroupData SBT records
-    (reference optixSphere.h:67-102).
+    Software equivalent of N HitGroupData SBT records (reference
+    optixSphere.h:67-102).  `attrs` is the packed [M,32] lookup matrix
+    (layout above); the named arrays are kept for inspection/tests.
     """
 
+    attrs: jnp.ndarray           # [M,32] f32 packed lookup matrix
     diffuse_color: jnp.ndarray   # [M,3] f32
-    specular: jnp.ndarray        # [M,3] f32 (kept for parity; unused by BSDF
-    #                              just like the reference's `specular`)
+    specular: jnp.ndarray        # [M,3] f32 (parity field; unused by the
+    #                              BSDF just like the reference's)
     emission_color: jnp.ndarray  # [M,3] f32 = color * emission (cpp:1213)
     roughness: jnp.ndarray       # [M]   f32
     metallic: jnp.ndarray        # [M]   f32 (0/1 from bool)
     transparent: jnp.ndarray     # [M]   f32 (0/1 from bool)
-
-    # Texture-map descriptors; offset indexes `texture_pool` rows.
-    # kind order: 0=albedo, 1=roughness, 2=normal, 3=metallic.
     has_map: jnp.ndarray         # [M,4] bool
-    map_offset: jnp.ndarray      # [M,4] i32
+    map_offset: jnp.ndarray      # [M,4] i32 (rows into texture_quads)
     map_width: jnp.ndarray       # [M,4] i32
     map_height: jnp.ndarray      # [M,4] i32
 
-    texture_pool: jnp.ndarray    # [P,3] f32 rgb texels (P >= 1)
+    # [P,4] uint32: per texel, its 2x2 wrap-neighbourhood as RGBA8 words
+    # (texel, x+1, y+1, x+1&y+1).
+    texture_quads: jnp.ndarray
 
     @property
     def num_materials(self) -> int:
-        return self.diffuse_color.shape[0]
+        return self.attrs.shape[0]
 
 
 @struct.dataclass
 class EnvironmentMap:
     """Equirectangular HDR environment (reference MissData,
-    optixSphere.h:58-63).  `data` is [H,W,3] float32 radiance.
+    optixSphere.h:58-63).  `data` [H,W,3] f32; `quads` [H*W,12] packs each
+    texel's bilinear neighbourhood (c00,c10,c01,c11 rgb) so one gather
+    serves a bilinear tap.  Build with `make_env`.
 
-    CDF tables (built by `tpu_pathtracer.render.envmap.build_env_cdf`) enable
-    importance sampling — a capability beyond the reference, whose NEE path
-    is dead code (optixSphere.cu:134-156, 858)."""
+    CDF tables (render/envmap.build_env_cdf) enable importance sampling —
+    beyond the reference, whose NEE path is dead code (optixSphere.cu:
+    134-156, 858)."""
 
-    data: jnp.ndarray                      # [H,W,3] f32
-    cdf_rows: Optional[jnp.ndarray] = None  # [H] marginal row CDF
-    cdf_cols: Optional[jnp.ndarray] = None  # [H,W] conditional column CDF
+    data: jnp.ndarray                       # [H,W,3] f32
+    quads: Optional[jnp.ndarray] = None     # [H*W,12] f32
+    cdf_rows: Optional[jnp.ndarray] = None  # [H]
+    cdf_cols: Optional[jnp.ndarray] = None  # [H,W]
 
     @property
     def height(self) -> int:
@@ -81,6 +111,58 @@ class EnvironmentMap:
         return self.data.shape[1]
 
 
+def make_env(data) -> EnvironmentMap:
+    """Build an EnvironmentMap with the packed quad table.
+
+    x wraps (equirect seam), y clamps (poles) — matching
+    render/envmap.sample_equirect."""
+    arr = np.asarray(data, np.float32)
+    h, w = arr.shape[:2]
+    x1 = (np.arange(w) + 1) % w
+    y1 = np.minimum(np.arange(h) + 1, h - 1)
+    c00 = arr
+    c10 = arr[:, x1]
+    c01 = arr[y1, :]
+    c11 = arr[y1][:, x1]
+    quads = np.concatenate([c00, c10, c01, c11], axis=-1).reshape(h * w, 12)
+    return EnvironmentMap(data=jnp.asarray(arr), quads=jnp.asarray(quads))
+
+
+def default_env(height: int = 8, width: int = 16, color=(0.4, 0.4, 0.6)) -> EnvironmentMap:
+    """A tiny constant environment (used when env_mode != equirect)."""
+    data = np.broadcast_to(np.asarray(color, np.float32), (height, width, 3))
+    return make_env(data)
+
+
+def pack_rgba8(img: np.ndarray) -> np.ndarray:
+    """[H,W,3] float in [0,1] -> [H,W] uint32 RGBA8 words (A=255).
+
+    8-bit quantisation is lossless for u8-sourced textures (the
+    reference's /255 conversion, cpp:366-380)."""
+    u8 = np.clip(np.round(np.asarray(img, np.float64) * 255.0), 0, 255).astype(
+        np.uint32
+    )
+    return (
+        u8[..., 0]
+        | (u8[..., 1] << 8)
+        | (u8[..., 2] << 16)
+        | (np.uint32(255) << 24)
+    )
+
+
+def make_texture_quads(img: np.ndarray) -> np.ndarray:
+    """[H,W,3] float -> [H*W,4] uint32 quad rows (repeat wrap both axes,
+    matching render/texsample semantics)."""
+    h, w = img.shape[:2]
+    packed = pack_rgba8(img)                       # [H,W] u32
+    x1 = (np.arange(w) + 1) % w
+    y1 = (np.arange(h) + 1) % h
+    quads = np.stack(
+        [packed, packed[:, x1], packed[y1, :], packed[y1][:, x1]], axis=-1
+    )
+    return quads.reshape(h * w, 4)
+
+
 @struct.dataclass
 class Scene:
     """Complete device scene (geometry + materials + lighting + accel)."""
@@ -89,6 +171,7 @@ class Scene:
     normals: jnp.ndarray    # [T,3,3] f32 — per-vertex shading normals
     uvs: jnp.ndarray        # [T,3,2] f32 — per-vertex texcoords
     mat_ids: jnp.ndarray    # [T]     i32 — material index per triangle
+    tri_attrs: jnp.ndarray  # [T,32]  f32 — packed shading attribute rows
     materials: MaterialTable
     env: EnvironmentMap
     # Acceleration structure; filled by tpu_pathtracer.accel (None = brute).
@@ -99,70 +182,71 @@ class Scene:
         return self.vertices.shape[0]
 
 
-def default_env(height: int = 8, width: int = 16, color=(0.4, 0.4, 0.6)) -> EnvironmentMap:
-    """A tiny constant environment (used when env_mode != equirect)."""
-    data = jnp.broadcast_to(
-        jnp.asarray(color, dtype=jnp.float32), (height, width, 3)
-    )
-    return EnvironmentMap(data=jnp.array(data))
+def pack_tri_attrs(vertices, normals, uvs, mat_ids) -> np.ndarray:
+    t = vertices.shape[0]
+    attrs = np.zeros((max(t, 1), 32), np.float32)
+    if t:
+        attrs[:, TRI_V] = vertices.reshape(t, 9)
+        attrs[:, TRI_N] = normals.reshape(t, 9)
+        attrs[:, TRI_UV] = uvs.reshape(t, 6)
+        attrs[:, TRI_MAT] = mat_ids.astype(np.float32)
+    return attrs
 
 
-def make_material_table(materials: list[dict], texture_pool: Optional[np.ndarray] = None) -> MaterialTable:
+def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarray] = None) -> MaterialTable:
     """Build a MaterialTable from a list of material dicts.
 
     Each dict supports keys: color (3,), specular (3,), emission (float),
     roughness (float), metallic (bool), transparent (bool), and per-map
     descriptors `maps` = {kind: (offset, width, height)} where kind in
-    {"albedo","roughness","normal","metallic"}.
+    {"albedo","roughness","normal","metallic"} and offset indexes rows of
+    `texture_quads`.
 
     Mirrors the SBT fill at reference optixSphere.cpp:1196-1262 (notably
     emission_color = color * emission, cpp:1213).
     """
     kinds = ["albedo", "roughness", "normal", "metallic"]
     m = len(materials)
-    diffuse = np.zeros((m, 3), np.float32)
-    specular = np.zeros((m, 3), np.float32)
-    emission = np.zeros((m, 3), np.float32)
-    roughness = np.zeros((m,), np.float32)
-    metallic = np.zeros((m,), np.float32)
-    transparent = np.zeros((m,), np.float32)
-    has_map = np.zeros((m, 4), bool)
-    map_off = np.zeros((m, 4), np.int32)
-    map_w = np.ones((m, 4), np.int32)
-    map_h = np.ones((m, 4), np.int32)
+    attrs = np.zeros((m, 32), np.float32)
+    attrs[:, MAT_MAP_WIDTH] = 1.0
+    attrs[:, MAT_MAP_HEIGHT] = 1.0
 
     for i, mat in enumerate(materials):
         color = np.asarray(mat.get("color", (0.5, 0.5, 0.5)), np.float32)
-        diffuse[i] = color
-        specular[i] = np.asarray(mat.get("specular", color), np.float32)
-        emission[i] = color * np.float32(mat.get("emission", 0.0))
-        roughness[i] = np.float32(mat.get("roughness", 0.5))
-        metallic[i] = np.float32(1.0 if mat.get("metallic", False) else 0.0)
-        transparent[i] = np.float32(1.0 if mat.get("transparent", False) else 0.0)
+        attrs[i, MAT_DIFFUSE] = color
+        attrs[i, MAT_SPECULAR] = np.asarray(mat.get("specular", color), np.float32)
+        attrs[i, MAT_EMISSION] = color * np.float32(mat.get("emission", 0.0))
+        attrs[i, MAT_ROUGHNESS] = np.float32(mat.get("roughness", 0.5))
+        attrs[i, MAT_METALLIC] = 1.0 if mat.get("metallic", False) else 0.0
+        attrs[i, MAT_TRANSPARENT] = 1.0 if mat.get("transparent", False) else 0.0
         for k, kind in enumerate(kinds):
             desc = mat.get("maps", {}).get(kind)
             if desc is not None:
                 off, w, h = desc
-                has_map[i, k] = True
-                map_off[i, k] = off
-                map_w[i, k] = w
-                map_h[i, k] = h
+                attrs[i, 12 + k] = 1.0
+                attrs[i, 16 + k] = float(off)
+                attrs[i, 20 + k] = float(w)
+                attrs[i, 24 + k] = float(h)
 
-    if texture_pool is None or len(texture_pool) == 0:
-        texture_pool = np.zeros((1, 3), np.float32)
+    if texture_quads is None or len(texture_quads) == 0:
+        texture_quads = np.zeros((1, 4), np.uint32)
+    if texture_quads.shape[0] >= (1 << 24):
+        # f32 offsets in the attr matrix stay exact below 2^24.
+        raise ValueError("texture pool exceeds 16.7M texels; offsets lose f32 precision")
 
     return MaterialTable(
-        diffuse_color=jnp.asarray(diffuse),
-        specular=jnp.asarray(specular),
-        emission_color=jnp.asarray(emission),
-        roughness=jnp.asarray(roughness),
-        metallic=jnp.asarray(metallic),
-        transparent=jnp.asarray(transparent),
-        has_map=jnp.asarray(has_map),
-        map_offset=jnp.asarray(map_off),
-        map_width=jnp.asarray(map_w),
-        map_height=jnp.asarray(map_h),
-        texture_pool=jnp.asarray(np.asarray(texture_pool, np.float32)),
+        attrs=jnp.asarray(attrs),
+        diffuse_color=jnp.asarray(attrs[:, MAT_DIFFUSE]),
+        specular=jnp.asarray(attrs[:, MAT_SPECULAR]),
+        emission_color=jnp.asarray(attrs[:, MAT_EMISSION]),
+        roughness=jnp.asarray(attrs[:, MAT_ROUGHNESS]),
+        metallic=jnp.asarray(attrs[:, MAT_METALLIC]),
+        transparent=jnp.asarray(attrs[:, MAT_TRANSPARENT]),
+        has_map=jnp.asarray(attrs[:, MAT_HAS_MAP] > 0.5),
+        map_offset=jnp.asarray(attrs[:, MAT_MAP_OFFSET].astype(np.int32)),
+        map_width=jnp.asarray(attrs[:, MAT_MAP_WIDTH].astype(np.int32)),
+        map_height=jnp.asarray(attrs[:, MAT_MAP_HEIGHT].astype(np.int32)),
+        texture_quads=jnp.asarray(texture_quads.astype(np.uint32)),
     )
 
 
@@ -176,15 +260,20 @@ def make_scene(
 ) -> Scene:
     """Assemble a Scene from host numpy arrays ([T,3,3]/[T,3,2]/[T])."""
     t = vertices.shape[0]
+    vertices = np.asarray(vertices, np.float32)
+    normals = np.asarray(normals, np.float32)
+    mat_ids = np.asarray(mat_ids, np.int32)
     if uvs is None:
         uvs = np.zeros((t, 3, 2), np.float32)
+    uvs = np.asarray(uvs, np.float32)
     if env is None:
         env = default_env()
     return Scene(
-        vertices=jnp.asarray(vertices, dtype=jnp.float32),
-        normals=jnp.asarray(normals, dtype=jnp.float32),
-        uvs=jnp.asarray(uvs, dtype=jnp.float32),
-        mat_ids=jnp.asarray(mat_ids, dtype=jnp.int32),
+        vertices=jnp.asarray(vertices),
+        normals=jnp.asarray(normals),
+        uvs=jnp.asarray(uvs),
+        mat_ids=jnp.asarray(mat_ids),
+        tri_attrs=jnp.asarray(pack_tri_attrs(vertices, normals, uvs, mat_ids)),
         materials=materials,
         env=env,
     )
