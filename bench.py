@@ -26,7 +26,7 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--depth", type=int, default=8)
-    ap.add_argument("--spp", type=int, default=1, help="samples per launch")
+    ap.add_argument("--spp", type=int, default=10, help="samples per launch (reference: 10)")
     ap.add_argument("--accel", default="cluster", choices=["brute", "cluster", "bvh"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
     args = ap.parse_args()
@@ -70,7 +70,8 @@ def main() -> int:
     n_pix = args.width * args.height
     tiles = args.tiles
     if tiles == 0:
-        # Keep ray batches near ~256k lanes.
+        # Keep per-launch lane batches near ~256k (regeneration mode uses
+        # one lane per pixel regardless of spp).
         per_tile = 262144
         tiles = max(1, n_pix // per_tile)
         while n_pix % tiles:
@@ -93,8 +94,8 @@ def main() -> int:
     # Compile + warm up.
     render_frame(scene, cam, cfg, jnp.int32(0)).block_until_ready()
 
-    # Measure traced segments for the benchmarked subframes.
-    segs = int(count_segments(scene, cam, cfg.replace(tile_pixels=0), jnp.int32(0)))
+    # Measure traced segments (schedule-independent path-segment count).
+    segs = int(count_segments(scene, cam, cfg, jnp.int32(0)))
 
     t0 = time.perf_counter()
     for k in range(args.frames):

@@ -53,6 +53,15 @@ class RenderConfig:
     # manual gamma (cuda/helpers.h `toSRGB`; call at optixSphere.cu:435).
     srgb_output: bool = True
 
+    # ---- wavefront scheduling --------------------------------------------
+    # Path regeneration ("persistent lanes"): one lane per pixel consumes
+    # its samples sequentially, respawning a fresh camera ray the moment a
+    # path terminates.  Keeps lane utilisation near 100% vs letting dead
+    # lanes ride the bounce loop (the megakernel schedule wastes ~85% of
+    # lane-iterations at reference RR rates).  Falls back to the wide
+    # schedule when samples_per_launch == 1 (nothing to respawn).
+    regenerate: bool = True
+
     # ---- estimator behaviour -------------------------------------------
     # "reference": clone the reference's quirky estimator exactly:
     #   path_rgb = payload.radiance; on termination path_rgb /= p

@@ -90,9 +90,11 @@ def render_frame_sharded(
 
         def worker(scene, cam, subframe):
             dev = jax.lax.axis_index(axis)
-            sample_ids = dev * spp_local + jnp.arange(spp_local, dtype=jnp.int32)
             ids = jnp.arange(n_pix, dtype=jnp.int32)
-            img = render_pixels(scene, cam, cfg, ids, subframe, sample_ids)
+            img = render_pixels(
+                scene, cam, cfg, ids, subframe,
+                sample_offset=dev * spp_local, spp=spp_local,
+            )
             # Average partial frames over ICI.
             return jax.lax.pmean(img, axis)
 

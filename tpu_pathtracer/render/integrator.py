@@ -301,6 +301,37 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
 # The bounce loop (reference raygen loop, cu:362-396)
 # ---------------------------------------------------------------------------
 
+def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, depth):
+    """One path segment for every lane: intersect, then closest-hit shade
+    or miss.  Returns the post-trace payload (pre-Russian-roulette)."""
+    hit = intersect_scene(scene, origin, direction, cfg.t_min, cfg.t_max, cfg)
+
+    # miss program (cu:531-567): radiance += att * env; done.
+    env_rad = eval_env(scene.env, direction, cfg)
+    radiance_miss = radiance + attenuation * env_rad
+
+    sh = _shade(scene, cfg, hit, origin, direction, seeds, depth)
+
+    hit_m = hit.hit
+    radiance_hit = jnp.where(
+        sh["emissive"][:, None],
+        radiance + attenuation * sh["emission"],
+        radiance,
+    )
+    return dict(
+        radiance=jnp.where(hit_m[:, None], radiance_hit, radiance_miss),
+        attenuation=jnp.where(
+            (hit_m & sh["att_ok"])[:, None],
+            attenuation * sh["att_factor"],
+            attenuation,
+        ),
+        origin=jnp.where(hit_m[:, None], sh["new_origin"], origin),
+        direction=jnp.where(hit_m[:, None], sh["new_direction"], direction),
+        done=jnp.where(hit_m, sh["done"], True),  # miss always terminates
+        seeds=jnp.where(hit_m, sh["seeds"], seeds),
+    )
+
+
 def render_rays(
     scene: Scene,
     cfg: RenderConfig,
@@ -331,51 +362,26 @@ def render_rays(
     def body(st):
         live = ~st["terminated"]
 
-        hit = intersect_scene(
-            scene, st["origin"], st["direction"], cfg.t_min, cfg.t_max, cfg
+        tb = _trace_bounce(
+            scene, cfg, st["origin"], st["direction"], st["attenuation"],
+            st["radiance"], st["seeds"], st["depth"],
         )
-
-        # -- miss program (cu:531-567): radiance += att * env; done ------
-        env_rad = eval_env(scene.env, st["direction"], cfg)
-        radiance_miss = st["radiance"] + st["attenuation"] * env_rad
-
-        # -- closest hit --------------------------------------------------
-        sh = _shade(
-            scene, cfg, hit, st["origin"], st["direction"], st["seeds"], st["depth"]
-        )
-
-        hit_m = hit.hit
-        radiance_hit = jnp.where(
-            sh["emissive"][:, None],
-            st["radiance"] + st["attenuation"] * sh["emission"],
-            st["radiance"],
-        )
-        radiance_new = jnp.where(hit_m[:, None], radiance_hit, radiance_miss)
-
-        att_new = jnp.where(
-            (hit_m & sh["att_ok"])[:, None],
-            st["attenuation"] * sh["att_factor"],
-            st["attenuation"],
-        )
-        origin_new = jnp.where(hit_m[:, None], sh["new_origin"], st["origin"])
-        dir_new = jnp.where(hit_m[:, None], sh["new_direction"], st["direction"])
-        done_new = jnp.where(hit_m, sh["done"], True)  # miss always done
-        seeds_new = jnp.where(hit_m, sh["seeds"], st["seeds"])
+        att_new = tb["attenuation"]
+        radiance_new = tb["radiance"]
 
         # -- Russian roulette (cu:379-387) --------------------------------
-        seeds_new, u_rr = rng.uniform(seeds_new)
+        seeds_new, u_rr = rng.uniform(tb["seeds"])
         p = jnp.max(att_new, axis=-1)
-        rr_done = done_new | (u_rr > p)
+        rr_done = tb["done"] | (u_rr > p)
 
         newly = live & rr_done
+        p_safe = jnp.where(p > 0.0, p, 1.0)
         if cfg.rr_mode == "reference":
             # path_rgb = radiance; on termination path_rgb /= p (cu:382-387).
-            p_safe = jnp.where(p > 0.0, p, 1.0)
             result_terminated = radiance_new / p_safe[:, None]
         else:
             # standard: unbiased — survivors divide attenuation by p.
             result_terminated = radiance_new
-            p_safe = jnp.where(p > 0.0, p, 1.0)
             att_new = jnp.where(
                 (live & ~rr_done)[:, None], att_new / p_safe[:, None], att_new
             )
@@ -384,11 +390,11 @@ def render_rays(
         terminated = st["terminated"] | newly
 
         # -- masked state update (only surviving live lanes advance) ------
-        adv = (live & ~rr_done)[:, None]
         advs = live & ~rr_done
+        adv = advs[:, None]
         st_new = dict(
-            origin=jnp.where(adv, origin_new, st["origin"]),
-            direction=jnp.where(adv, dir_new, st["direction"]),
+            origin=jnp.where(adv, tb["origin"], st["origin"]),
+            direction=jnp.where(adv, tb["direction"], st["direction"]),
             attenuation=jnp.where(adv, att_new, st["attenuation"]),
             radiance=jnp.where(adv, radiance_new, st["radiance"]),
             seeds=jnp.where(live, seeds_new, st["seeds"]),
@@ -420,7 +426,23 @@ def count_segments(
     of (ray, bounce) segments — the "rays" in rays-per-second.
     """
     n_pix = cfg.width * cfg.height
-    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    if cfg.tile_pixels and cfg.tile_pixels < n_pix:
+        tile = cfg.tile_pixels
+        tiles = n_pix // tile
+        ids = jnp.arange(n_pix, dtype=jnp.int32).reshape(tiles, tile)
+
+        def body(total, pix):
+            return total + _count_segments_pixels(scene, cam, cfg, pix, subframe), None
+
+        total, _ = jax.lax.scan(body, jnp.int32(0), ids)
+        return total
+    return _count_segments_pixels(
+        scene, cam, cfg, jnp.arange(n_pix, dtype=jnp.int32), subframe
+    )
+
+
+def _count_segments_pixels(scene, cam, cfg, pixel_ids, subframe):
+    n_pix = pixel_ids.shape[0]
     spp = cfg.samples_per_launch
     pixel_rep = jnp.repeat(pixel_ids, spp)
     sample_rep = jnp.tile(jnp.arange(spp, dtype=jnp.int32), n_pix)
@@ -490,6 +512,109 @@ def count_segments(
 
 
 # ---------------------------------------------------------------------------
+# Path regeneration ("persistent lanes")
+# ---------------------------------------------------------------------------
+
+def render_pixels_regen(
+    scene: Scene,
+    cam: dict,
+    cfg: RenderConfig,
+    pixel_ids: jnp.ndarray,   # [Np] i32
+    subframe: jnp.ndarray,
+    sample_offset: jnp.ndarray,
+    spp: int,
+) -> jnp.ndarray:
+    """One lane per pixel; each lane traces its spp samples *sequentially*,
+    respawning a fresh camera ray the moment its current path terminates.
+
+    This is the wavefront answer to lane divergence: with the reference's
+    aggressive Russian roulette most paths die after 1-2 bounces, so the
+    wide schedule (pixels x samples lanes, dead lanes masked) wastes ~85%
+    of lane-iterations.  Regeneration keeps utilisation near 100% — every
+    iteration every lane is tracing a real segment until its sample budget
+    runs out.  Seeds are the same global (pixel, sample, subframe)
+    counters as the wide path, so each sample's radiance is identical.
+    """
+    n = pixel_ids.shape[0]
+    px = pixel_ids % cfg.width
+    py = pixel_ids // cfg.width
+
+    def make_path(sample_i):
+        seeds0 = rng.make_seeds(pixel_ids, sample_offset + sample_i, subframe)
+        return generate_camera_rays(cam, px, py, seeds0, cfg)
+
+    o0, d0, s0 = make_path(jnp.zeros_like(pixel_ids))
+    state = dict(
+        origin=o0,
+        direction=d0,
+        seeds=s0,
+        attenuation=jnp.ones_like(o0),
+        radiance=jnp.zeros_like(o0),
+        depth=jnp.full_like(pixel_ids, cfg.max_depth, dtype=jnp.int32),
+        sample_i=jnp.zeros_like(pixel_ids),
+        accum=jnp.zeros_like(o0),
+        exhausted=jnp.zeros_like(pixel_ids, dtype=bool),
+        it=jnp.int32(0),
+    )
+    max_iters = spp * (cfg.max_depth + 2) + 4
+
+    def cond(st):
+        return (~jnp.all(st["exhausted"])) & (st["it"] < max_iters)
+
+    def body(st):
+        live = ~st["exhausted"]
+        tb = _trace_bounce(
+            scene, cfg, st["origin"], st["direction"], st["attenuation"],
+            st["radiance"], st["seeds"], st["depth"],
+        )
+        att_new = tb["attenuation"]
+        radiance_new = tb["radiance"]
+
+        seeds_new, u_rr = rng.uniform(tb["seeds"])
+        p = jnp.max(att_new, axis=-1)
+        rr_done = tb["done"] | (u_rr > p)
+        newly = live & rr_done
+        p_safe = jnp.where(p > 0.0, p, 1.0)
+        if cfg.rr_mode == "reference":
+            result = radiance_new / p_safe[:, None]
+        else:
+            result = radiance_new
+            att_new = jnp.where(
+                (live & ~rr_done)[:, None], att_new / p_safe[:, None], att_new
+            )
+
+        accum = st["accum"] + jnp.where(newly[:, None], result, 0.0)
+        sample_i = st["sample_i"] + newly.astype(jnp.int32)
+        exhausted = st["exhausted"] | (newly & (sample_i >= spp))
+
+        # Respawn the next sample on lanes that just finished one.
+        regen = newly & ~exhausted
+        o_r, d_r, s_r = make_path(jnp.minimum(sample_i, spp - 1))
+        adv = (live & ~rr_done)[:, None]
+        rg = regen[:, None]
+
+        return dict(
+            origin=jnp.where(rg, o_r, jnp.where(adv, tb["origin"], st["origin"])),
+            direction=jnp.where(rg, d_r, jnp.where(adv, tb["direction"], st["direction"])),
+            seeds=jnp.where(regen, s_r, jnp.where(live, seeds_new, st["seeds"])),
+            attenuation=jnp.where(rg, 1.0, jnp.where(adv, att_new, st["attenuation"])),
+            radiance=jnp.where(rg, 0.0, jnp.where(adv, radiance_new, st["radiance"])),
+            depth=jnp.where(
+                regen,
+                jnp.int32(cfg.max_depth),
+                jnp.where(live & ~rr_done, st["depth"] - 1, st["depth"]),
+            ),
+            sample_i=sample_i,
+            accum=accum,
+            exhausted=exhausted,
+            it=st["it"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["accum"] / jnp.float32(spp)
+
+
+# ---------------------------------------------------------------------------
 # Frame rendering
 # ---------------------------------------------------------------------------
 
@@ -499,23 +624,30 @@ def render_pixels(
     cfg: RenderConfig,
     pixel_ids: jnp.ndarray,   # [Np] i32 flat pixel indices (y*W + x)
     subframe: jnp.ndarray,    # scalar i32
-    sample_ids: jnp.ndarray | None = None,  # [S] i32 global sample indices
+    sample_offset: jnp.ndarray | int = 0,  # first global sample index
+    spp: int | None = None,   # samples per pixel this launch
 ) -> jnp.ndarray:
     """Render one batch of samples for each pixel; returns the
     sample-averaged radiance [Np,3] (the reference's `payload_rgb /
     sample_batch_count`, cu:397-401).
 
-    sample_ids defaults to arange(samples_per_launch); sample-sharded
-    multi-chip rendering passes each device its own global id slice so
-    seeds — and therefore radiance values — are identical to an unsharded
-    run (BASELINE.md reproducibility)."""
-    if sample_ids is None:
-        sample_ids = jnp.arange(cfg.samples_per_launch, dtype=jnp.int32)
-    spp = sample_ids.shape[0]
-    np_ = pixel_ids.shape[0]
+    Sample-sharded multi-chip rendering passes each device its own global
+    sample_offset slice, so seeds — and therefore radiance values — are
+    identical to an unsharded run (BASELINE.md reproducibility)."""
+    if spp is None:
+        spp = cfg.samples_per_launch
+    sample_offset = jnp.asarray(sample_offset, dtype=jnp.int32)
 
+    if cfg.regenerate and spp > 1:
+        return render_pixels_regen(
+            scene, cam, cfg, pixel_ids, subframe, sample_offset, spp
+        )
+
+    np_ = pixel_ids.shape[0]
     pixel_rep = jnp.repeat(pixel_ids, spp)                    # [Np*spp]
-    sample_rep = jnp.tile(sample_ids, np_)
+    sample_rep = sample_offset + jnp.tile(
+        jnp.arange(spp, dtype=jnp.int32), np_
+    )
     seeds = rng.make_seeds(pixel_rep, sample_rep, subframe)
 
     px = pixel_rep % cfg.width
