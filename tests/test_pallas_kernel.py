@@ -1,0 +1,68 @@
+"""Pallas packet-traversal kernel vs brute force (interpret mode on CPU —
+SURVEY.md §4 tier 2 equivalence testing)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.accel.build import build_accel
+from tpu_pathtracer.ops.intersect import intersect_brute
+from tpu_pathtracer.ops.intersect_pallas import (
+    intersect_clusters_pallas,
+    pack_cluster_tris,
+)
+from tpu_pathtracer.scene.procedural import three_spheres_scene
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    scene = build_accel(
+        three_spheres_scene(stacks=6, slices=12), kind="cluster", cluster_size=64
+    )
+    return scene
+
+
+def run_kernel(scene, o, d, r=128):
+    acc = scene.accel
+    bt, bp = intersect_clusters_pallas(
+        acc.tris16, acc.aabb8, o, d, 0.01, 1e16, rays_per_tile=r, interpret=True
+    )
+    prim = np.where(np.asarray(bp) == 0x7FFFFFFF, -1, np.asarray(bp))
+    return np.asarray(bt), prim
+
+
+def test_kernel_matches_brute(clustered):
+    rs = np.random.RandomState(0)
+    n = 256
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    bt, prim = run_kernel(clustered, o, d)
+    hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+    hit = prim >= 0
+    np.testing.assert_allclose(bt[hit], np.asarray(hb.t)[hit], rtol=1e-5)
+    assert hit.sum() > 50
+
+
+def test_kernel_ray_padding(clustered):
+    # N not a multiple of rays_per_tile: padding lanes must not alias.
+    rs = np.random.RandomState(1)
+    n = 100
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    bt, prim = run_kernel(clustered, o, d, r=64)
+    hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+
+
+def test_pack_cluster_tris_layout():
+    verts = np.asarray(
+        [[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32
+    )
+    packed = pack_cluster_tris(verts, cluster_size=4)
+    assert packed.shape == (1, 16, 4)
+    np.testing.assert_allclose(packed[0, 0:3, 0], [0, 0, 0])   # v0
+    np.testing.assert_allclose(packed[0, 3:6, 0], [1, 0, 0])   # e1
+    np.testing.assert_allclose(packed[0, 6:9, 0], [0, 1, 0])   # e2
+    # padding triangles are all-zero (degenerate, det == 0)
+    np.testing.assert_allclose(packed[0, :, 1:], 0.0)

@@ -27,6 +27,10 @@ from tpu_pathtracer.ops.intersect import Hit, _mt_block, finalize_hit
 class ClusterAccel:
     aabb_min: jnp.ndarray   # [C,3]
     aabb_max: jnp.ndarray   # [C,3]
+    # Pallas kernel layouts (ops/intersect_pallas): component-row triangle
+    # clusters and 8-wide AABB rows.
+    tris16: jnp.ndarray     # [C,16,K] f32
+    aabb8: jnp.ndarray      # [C,8] f32
     # static metadata
     cluster_size: int = struct.field(pytree_node=False, default=128)
 
@@ -35,10 +39,39 @@ class ClusterAccel:
         return self.aabb_min.shape[0]
 
     def intersect(self, vertices, origins, directions, t_min, t_max, cfg) -> Hit:
-        """Closest hit over all clusters with AABB cond-skip.
+        """Closest hit over all clusters.
 
+        On TPU (cfg.use_pallas) this runs the packet-traversal Pallas
+        kernel with per-tile scalar cluster skipping; elsewhere the pure
+        XLA scan with batch-level `lax.cond` skipping below.
         vertices: [T,3,3] Morton-permuted (T padded up to C*K internally).
         """
+        vmem_bytes = self.tris16.size * 4
+        if (
+            cfg.use_pallas
+            and jax.default_backend() == "tpu"
+            and vmem_bytes <= 6 * 1024 * 1024
+        ):
+            from tpu_pathtracer.ops.intersect_pallas import (
+                intersect_clusters_pallas,
+            )
+
+            best_t, best_prim = intersect_clusters_pallas(
+                self.tris16,
+                self.aabb8,
+                origins,
+                directions,
+                t_min=float(t_min),
+                t_max=float(t_max),
+            )
+            return finalize_hit(
+                vertices, origins, directions, best_t, best_prim, t_min, t_max
+            )
+        return self._intersect_xla(
+            vertices, origins, directions, t_min, t_max, cfg
+        )
+
+    def _intersect_xla(self, vertices, origins, directions, t_min, t_max, cfg) -> Hit:
         n = origins.shape[0]
         k = self.cluster_size
         c = self.num_clusters
@@ -133,10 +166,17 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128) -> Cluste
     blocks = v.reshape(c, cluster_size, 3, 3)
     amin = blocks.reshape(c, -1, 3).min(axis=1)
     amax = blocks.reshape(c, -1, 3).max(axis=1)
-    import jax.numpy as jnp
+
+    from tpu_pathtracer.ops.intersect_pallas import pack_cluster_tris
+
+    aabb8 = np.zeros((c, 8), np.float32)
+    aabb8[:, 0:3] = amin
+    aabb8[:, 3:6] = amax
 
     return ClusterAccel(
         aabb_min=jnp.asarray(amin, jnp.float32),
         aabb_max=jnp.asarray(amax, jnp.float32),
+        tris16=jnp.asarray(pack_cluster_tris(vertices, cluster_size)),
+        aabb8=jnp.asarray(aabb8),
         cluster_size=cluster_size,
     )

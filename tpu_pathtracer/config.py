@@ -93,9 +93,13 @@ class RenderConfig:
     intersect_block: int = 256
     # Which intersector: "auto" | "brute" | "cluster" | "bvh"
     intersector: str = "auto"
-    # Use Pallas kernels where available (falls back to pure-JAX lowering
-    # on CPU test runs).
-    use_pallas: bool = True
+    # Route intersection through the Pallas packet-traversal kernel
+    # (ops/intersect_pallas).  Currently default-off: on v5e the kernel's
+    # per-tile cluster skipping works (2x fewer tests on coherent packets)
+    # but its inner loop lowers ~4x slower than the fused XLA scan, so the
+    # XLA cluster path wins end-to-end (58 vs 92 ms per 1M coherent rays).
+    # The kernel is kept correct + tested for further Mosaic tuning.
+    use_pallas: bool = False
     # Accumulation dtype for the film. float32 matches the reference.
     accum_dtype: str = "float32"
 
