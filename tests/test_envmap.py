@@ -1,0 +1,132 @@
+"""Environment lighting tests: equirect mapping, bilinear fetch, CDF +
+alias-table importance sampling, and the NEE integrator path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.render import envmap
+from tpu_pathtracer.scene.scene import make_env
+from tpu_pathtracer.utils.image import procedural_hdr
+
+
+def test_direction_uv_roundtrip():
+    rs = np.random.RandomState(0)
+    d = rs.randn(256, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    u, v = envmap.direction_to_uv(jnp.asarray(d))
+    back = np.asarray(envmap.uv_to_direction(u, v))
+    np.testing.assert_allclose(back, d, atol=1e-5)
+
+
+def test_sample_equirect_quads_match_plain():
+    env = make_env(procedural_hdr(32, 64, seed=2))
+    rs = np.random.RandomState(1)
+    u = jnp.asarray(rs.rand(512).astype(np.float32))
+    v = jnp.asarray(rs.rand(512).astype(np.float32))
+    a = np.asarray(envmap.sample_equirect(env.data, u, v))
+    b = np.asarray(envmap.sample_equirect(env.data, u, v, quads=env.quads))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_constant_env_exact():
+    env = make_env(np.full((8, 16, 3), 0.7, np.float32))
+    d = jnp.asarray(np.random.RandomState(0).randn(64, 3), jnp.float32)
+    cfg = RenderConfig(env_mode="equirect")
+    out = np.asarray(envmap.eval_env(env, d, cfg))
+    np.testing.assert_allclose(out, 0.7, atol=1e-5)
+
+
+def test_sunsky_matches_reference_constants():
+    # Sun disk (200,175,125) around normalize(0,2,3); sky (0.4,0.4,0.6)
+    # (reference optixSphere.cu:552-557).
+    sun = jnp.asarray([[0.0, 2.0, 3.0]], jnp.float32)
+    side = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(envmap.sunsky(sun))[0], [200, 175, 125]
+    )
+    np.testing.assert_allclose(
+        np.asarray(envmap.sunsky(side))[0], [0.4, 0.4, 0.6]
+    )
+
+
+def test_alias_table_distribution():
+    # Draws must follow the luminance*sin(theta) texel distribution.
+    env = envmap.with_importance_sampling(make_env(procedural_hdr(16, 32, seed=3)))
+    h, w = 16, 32
+    n = 200_000
+    rs = np.random.RandomState(0)
+    u1, u2 = jnp.asarray(rs.rand(n), jnp.float32), jnp.asarray(rs.rand(n), jnp.float32)
+    u3, u4 = jnp.asarray(rs.rand(n), jnp.float32), jnp.asarray(rs.rand(n), jnp.float32)
+    dirs, pdf = envmap.sample_env_alias(env.alias_table, h, w, u1, u2, u3, u4)
+    uu, vv = envmap.direction_to_uv(dirs)
+    tx = np.clip((np.asarray(uu) * w).astype(int), 0, w - 1)
+    ty = np.clip((np.asarray(vv) * h).astype(int), 0, h - 1)
+    counts = np.bincount(ty * w + tx, minlength=h * w) / n
+
+    weights, _ = envmap._env_texel_weights(env.data)
+    p = np.asarray(weights).reshape(-1)
+    p = p / p.sum()
+    # L1 distance small; dominated texels sampled.
+    assert np.abs(counts - p).sum() < 0.05
+    assert np.all(np.asarray(pdf) > 0)
+
+
+def test_alias_pdf_consistency():
+    # Monte-Carlo estimate of integral of 1 over the sphere using the
+    # sampler's pdf must be ~4*pi.
+    env = envmap.with_importance_sampling(make_env(procedural_hdr(16, 32, seed=4)))
+    n = 200_000
+    rs = np.random.RandomState(1)
+    us = [jnp.asarray(rs.rand(n), jnp.float32) for _ in range(4)]
+    _, pdf = envmap.sample_env_alias(env.alias_table, 16, 32, *us)
+    est = float(np.mean(1.0 / np.asarray(pdf)))
+    assert abs(est - 4.0 * np.pi) / (4.0 * np.pi) < 0.05
+
+
+def test_nee_render_runs_and_reduces_variance():
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+    from tpu_pathtracer.scene.procedural import single_sphere_scene
+
+    # Sun-heavy env: NEE should slash variance on the diffuse sphere.
+    env = envmap.with_importance_sampling(
+        make_env(procedural_hdr(32, 64, sun_intensity=500.0))
+    )
+    scene = single_sphere_scene(stacks=6, slices=12).replace(env=env)
+    base = dict(
+        width=24, height=16, samples_per_launch=4, max_depth=3, dof=False,
+        env_mode="equirect", intersector="brute", rr_mode="standard",
+    )
+    cfg_bsdf = RenderConfig(**base)
+    cfg_nee = RenderConfig(**base, env_importance_sampling=True)
+    cam = camera_arrays(Camera(), cfg_bsdf)
+
+    def frames(cfg, k0):
+        return [
+            np.asarray(render_frame(scene, cam, cfg, jnp.int32(k)))
+            for k in range(k0, k0 + 4)
+        ]
+
+    f_b = frames(cfg_bsdf, 0)
+    f_n = frames(cfg_nee, 0)
+    assert all(np.all(np.isfinite(f)) for f in f_b + f_n)
+    # Frame-to-frame variance on sphere pixels (bottom half of image).
+    var_b = np.var(np.stack(f_b), axis=0)[:8].mean()
+    var_n = np.var(np.stack(f_n), axis=0)[:8].mean()
+    assert var_n < var_b
+
+
+def test_nee_requires_alias_table():
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+    from tpu_pathtracer.scene.procedural import single_sphere_scene
+
+    scene = single_sphere_scene(stacks=4, slices=8)  # default env, no table
+    cfg = RenderConfig(
+        width=8, height=8, samples_per_launch=1, max_depth=2, dof=False,
+        env_mode="equirect", intersector="brute", env_importance_sampling=True,
+    )
+    with pytest.raises(ValueError, match="alias table"):
+        render_frame(scene, camera_arrays(Camera(), cfg), cfg, jnp.int32(0))

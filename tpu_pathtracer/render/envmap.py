@@ -100,8 +100,25 @@ def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig) -> 
 
 
 # ---------------------------------------------------------------------------
-# Environment CDF importance sampling (beyond-reference capability)
+# Environment importance sampling (beyond-reference capability)
 # ---------------------------------------------------------------------------
+#
+# Two samplers over the luminance*sin(theta) texel distribution:
+#   * CDF tables (build_env_cdf / sample_env) — the textbook method; kept
+#     as the reference implementation and for tests.
+#   * An alias table (build_env_alias / sample_env_alias) — O(1) per draw:
+#     ONE row gather instead of a log2(H*W)-step binary search, which on
+#     TPU (latency-bound gathers) is ~17x fewer memory accesses.  This is
+#     what the integrator's NEE path uses.
+
+
+def _env_texel_weights(data: jnp.ndarray):
+    h, w = data.shape[0], data.shape[1]
+    lum = jnp.einsum("hwk,k->hw", data, jnp.array([0.2126, 0.7152, 0.0722]))
+    theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * jnp.pi
+    weights = lum * jnp.sin(theta)[:, None] + 1e-12
+    return weights, theta
+
 
 def build_env_cdf(env: EnvironmentMap) -> EnvironmentMap:
     """Precompute marginal/conditional CDFs over luminance*sin(theta)."""
@@ -141,6 +158,70 @@ def sample_env(env: EnvironmentMap, u1: jnp.ndarray, u2: jnp.ndarray):
     sin_theta = jnp.maximum(jnp.sin(theta)[row], 1e-6)
     pdf = p_texel * (h * w) / (2.0 * jnp.pi * jnp.pi * sin_theta)
     return direction, pdf
+
+
+def build_env_alias(env: EnvironmentMap):
+    """Vose alias table over env texels.  Returns (env, table) where table
+    is [H*W, 4] f32: (accept_prob, alias_index, pdf_self, pdf_alias) —
+    pdfs in solid-angle measure, so a draw needs exactly one row gather."""
+    import numpy as np
+
+    data = np.asarray(env.data, np.float64)
+    h, w = data.shape[:2]
+    lum = data @ np.array([0.2126, 0.7152, 0.0722])
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    weights = lum * np.sin(theta)[:, None] + 1e-12
+    p = (weights / weights.sum()).reshape(-1)           # texel probabilities
+    n = p.size
+
+    # solid-angle pdf per texel: p_texel * (h*w) / (2 pi^2 sin(theta))
+    sin_t = np.maximum(np.sin(theta), 1e-6)
+    pdf_sa = (p.reshape(h, w) * (h * w) / (2.0 * np.pi * np.pi * sin_t[:, None])).reshape(-1)
+
+    # Vose's algorithm
+    scaled = p * n
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    prob = np.ones(n)
+    alias = np.arange(n)
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+
+    table = np.zeros((n, 4), np.float32)
+    table[:, 0] = prob
+    table[:, 1] = alias.astype(np.float32)
+    table[:, 2] = pdf_sa
+    table[:, 3] = pdf_sa[alias]
+    return jnp.asarray(table)
+
+
+def sample_env_alias(table: jnp.ndarray, height: int, width: int, u1, u2, u3, u4):
+    """O(1) env direction sample: one alias-table row gather per lane.
+
+    Returns (direction [...,3], pdf [...] in solid angle).  u3/u4 jitter
+    within the chosen texel (the pdf is texel-constant)."""
+    n = height * width
+    i = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
+    row = table[i]                                       # [N,4] — the gather
+    take_self = u2 < row[..., 0]
+    texel = jnp.where(take_self, i, row[..., 1].astype(jnp.int32))
+    pdf = jnp.where(take_self, row[..., 2], row[..., 3])
+    ty = texel // width
+    tx = texel % width
+    u = (tx.astype(jnp.float32) + u3) / width
+    v = (ty.astype(jnp.float32) + u4) / height
+    return uv_to_direction(u, v), pdf
+
+
+def with_importance_sampling(env: EnvironmentMap) -> EnvironmentMap:
+    """Attach CDF + alias tables; required for cfg.env_importance_sampling."""
+    env = build_env_cdf(env)
+    return env.replace(alias_table=build_env_alias(env))
 
 
 def env_pdf(env: EnvironmentMap, direction: jnp.ndarray) -> jnp.ndarray:

@@ -294,6 +294,11 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
         degenerate=degenerate,
         done=done,
         seeds=seeds,
+        # extras for next-event estimation (env importance sampling)
+        normal=normal,
+        diffuse_albedo=diffuse_albedo,
+        glass=glass,
+        choose_spec=choose_spec,
     )
 
 
@@ -301,16 +306,32 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
 # The bounce loop (reference raygen loop, cu:362-396)
 # ---------------------------------------------------------------------------
 
-def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, depth):
+def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, depth, spec_last=None):
     """One path segment for every lane: intersect, then closest-hit shade
-    or miss.  Returns the post-trace payload (pre-Russian-roulette)."""
+    or miss.  Returns the post-trace payload (pre-Russian-roulette).
+
+    With cfg.env_importance_sampling (beyond-reference; BASELINE.json
+    north star) each surface hit additionally draws ONE env direction from
+    the luminance alias table, traces a shadow ray, and adds the
+    diffuse-lobe next-event contribution; env radiance on misses is then
+    only credited to specular/primary segments (`spec_last` — the purpose
+    the reference's dead `specular_bounce` payload flag was built for,
+    optixSphere.h:44).  Pairs best with rr_mode="standard".
+    """
+    nee = cfg.env_importance_sampling
     hit = intersect_scene(scene, origin, direction, cfg.t_min, cfg.t_max, cfg)
 
     # miss program (cu:531-567): radiance += att * env; done.
     env_rad = eval_env(scene.env, direction, cfg)
-    radiance_miss = radiance + attenuation * env_rad
+    if nee:
+        radiance_miss = radiance + jnp.where(
+            spec_last[:, None], attenuation * env_rad, 0.0
+        )
+    else:
+        radiance_miss = radiance + attenuation * env_rad
 
     sh = _shade(scene, cfg, hit, origin, direction, seeds, depth)
+    seeds_out = sh["seeds"]
 
     hit_m = hit.hit
     radiance_hit = jnp.where(
@@ -318,6 +339,41 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
         radiance + attenuation * sh["emission"],
         radiance,
     )
+
+    if nee:
+        from tpu_pathtracer.render.envmap import sample_env_alias
+
+        if scene.env.alias_table is None:
+            raise ValueError(
+                "env_importance_sampling requires an alias table: build the "
+                "environment with envmap.with_importance_sampling(env)"
+            )
+        seeds_out, u1, u2 = rng.uniform2(seeds_out)
+        seeds_out, u3, u4 = rng.uniform2(seeds_out)
+        env_dir, env_pdf_v = sample_env_alias(
+            scene.env.alias_table, scene.env.height, scene.env.width,
+            u1, u2, u3, u4,
+        )
+        cos_l = jnp.maximum(vm.dot(sh["normal"], env_dir), 0.0)
+        occluded = intersect_scene(
+            scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg
+        ).hit
+        l_env = eval_env(scene.env, env_dir, cfg)
+        nee_ok = (
+            hit_m
+            & ~sh["glass"]
+            & ~sh["emissive"]
+            & ~sh["degenerate"]
+            & (cos_l > 0.0)
+            & ~occluded
+        )
+        weight = cos_l / (jnp.pi * jnp.maximum(env_pdf_v, 1e-12))
+        contrib = attenuation * sh["diffuse_albedo"] * weight[:, None] * l_env
+        radiance_hit = radiance_hit + jnp.where(nee_ok[:, None], contrib, 0.0)
+        spec_next = sh["choose_spec"] | sh["glass"]
+    else:
+        spec_next = spec_last
+
     return dict(
         radiance=jnp.where(hit_m[:, None], radiance_hit, radiance_miss),
         attenuation=jnp.where(
@@ -328,7 +384,8 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
         origin=jnp.where(hit_m[:, None], sh["new_origin"], origin),
         direction=jnp.where(hit_m[:, None], sh["new_direction"], direction),
         done=jnp.where(hit_m, sh["done"], True),  # miss always terminates
-        seeds=jnp.where(hit_m, sh["seeds"], seeds),
+        seeds=jnp.where(hit_m, seeds_out, seeds),
+        spec_last=spec_next,
     )
 
 
@@ -351,6 +408,7 @@ def render_rays(
         depth=jnp.full_like(seeds, cfg.max_depth, dtype=jnp.int32),
         terminated=jnp.zeros_like(seeds, dtype=bool),
         result=jnp.zeros_like(origins),
+        spec_last=jnp.ones_like(seeds, dtype=bool),  # primaries count specular
         bounce=jnp.int32(0),
     )
 
@@ -364,7 +422,7 @@ def render_rays(
 
         tb = _trace_bounce(
             scene, cfg, st["origin"], st["direction"], st["attenuation"],
-            st["radiance"], st["seeds"], st["depth"],
+            st["radiance"], st["seeds"], st["depth"], st["spec_last"],
         )
         att_new = tb["attenuation"]
         radiance_new = tb["radiance"]
@@ -401,6 +459,7 @@ def render_rays(
             depth=jnp.where(advs, st["depth"] - 1, st["depth"]),
             terminated=terminated,
             result=result,
+            spec_last=jnp.where(advs, tb["spec_last"], st["spec_last"]),
             bounce=st["bounce"] + 1,
         )
         return st_new
@@ -554,6 +613,7 @@ def render_pixels_regen(
         sample_i=jnp.zeros_like(pixel_ids),
         accum=jnp.zeros_like(o0),
         exhausted=jnp.zeros_like(pixel_ids, dtype=bool),
+        spec_last=jnp.ones_like(pixel_ids, dtype=bool),
         it=jnp.int32(0),
     )
     max_iters = spp * (cfg.max_depth + 2) + 4
@@ -565,7 +625,7 @@ def render_pixels_regen(
         live = ~st["exhausted"]
         tb = _trace_bounce(
             scene, cfg, st["origin"], st["direction"], st["attenuation"],
-            st["radiance"], st["seeds"], st["depth"],
+            st["radiance"], st["seeds"], st["depth"], st["spec_last"],
         )
         att_new = tb["attenuation"]
         radiance_new = tb["radiance"]
@@ -607,6 +667,11 @@ def render_pixels_regen(
             sample_i=sample_i,
             accum=accum,
             exhausted=exhausted,
+            spec_last=jnp.where(
+                regen,
+                True,
+                jnp.where(live & ~rr_done, tb["spec_last"], st["spec_last"]),
+            ),
             it=st["it"] + 1,
         )
 

@@ -101,6 +101,9 @@ class EnvironmentMap:
     quads: Optional[jnp.ndarray] = None     # [H*W,12] f32
     cdf_rows: Optional[jnp.ndarray] = None  # [H]
     cdf_cols: Optional[jnp.ndarray] = None  # [H,W]
+    # [H*W,4] Vose alias table (accept_prob, alias, pdf_self, pdf_alias)
+    # for O(1) importance sampling — envmap.with_importance_sampling.
+    alias_table: Optional[jnp.ndarray] = None
 
     @property
     def height(self) -> int:
