@@ -291,7 +291,9 @@ def triangulate(
                 for c, (vi, ti, ni) in enumerate(tri):
                     tv[c] = v_arr[vi]
                     if 0 <= ni < len(n_arr):
-                        n = n_arr[ni]
+                        # normalise in double (bit-parity with the native
+                        # parser, assets/native/objparser.cpp)
+                        n = n_arr[ni].astype(np.float64)
                         l = np.linalg.norm(n)
                         tn[c] = n / l if l > 1e-12 else (0.0, 1.0, 0.0)
                     else:

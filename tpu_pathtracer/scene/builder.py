@@ -26,7 +26,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from tpu_pathtracer.assets.obj import parse_obj, triangulate
+from tpu_pathtracer.assets.obj import ObjMaterial, parse_mtl, parse_obj, triangulate
 from tpu_pathtracer.scene.scene import (
     EnvironmentMap,
     Scene,
@@ -70,6 +70,31 @@ class TexturePoolBuilder:
         return np.concatenate(self.rows, axis=0)
 
 
+def _load_file(path, scale, skip_non_triangles, use_native, mtl_basepath):
+    """Per-file geometry load: native C++ parser when available (10-30x
+    faster, bit-identical output), pure-Python fallback otherwise.
+
+    Returns (vertices [T,3,3], normals, uvs, face_mat_ids [T],
+    materials) where face ids index `materials` (ObjMaterial list)."""
+    if use_native:
+        from tpu_pathtracer.assets.native import parse_obj_native
+
+        out = parse_obj_native(path, scale, skip_non_triangles)
+        if out is not None:
+            tv, tn, tuv, tm, names, libs = out
+            mdir = mtl_basepath or os.path.dirname(os.path.abspath(path))
+            mtl_map = {}
+            for libname in libs:
+                mtl_map.update(parse_mtl(os.path.join(mdir, libname)))
+            mats = [mtl_map.get(nm, ObjMaterial(name=nm)) for nm in names]
+            return tv, tn, tuv, tm, mats
+    model = parse_obj(path, mtl_basepath=mtl_basepath)
+    tv, tn, tuv, tm = triangulate(
+        model, scale=scale, skip_non_triangles=skip_non_triangles
+    )
+    return tv, tn, tuv, tm, model.materials
+
+
 def discover_convention_maps(obj_path: str, pool: TexturePoolBuilder) -> dict:
     """Filename-convention texture discovery (cpp:522-546)."""
     stem = os.path.splitext(obj_path)[0]
@@ -91,6 +116,7 @@ def load_scene(
     skip_non_triangles: bool = False,
     rng_seed: Optional[int] = 0,
     mtl_basepath: Optional[str] = None,
+    use_native: bool = True,
 ) -> Scene:
     """Load OBJ files into a Scene.
 
@@ -114,9 +140,8 @@ def load_scene(
     min_height = 10.0  # reference init, cpp:418
 
     for path in filenames:
-        model = parse_obj(path, mtl_basepath=mtl_basepath)
-        tv, tn, tuv, face_mats = triangulate(
-            model, scale=scale, skip_non_triangles=skip_non_triangles
+        tv, tn, tuv, face_mats, obj_materials = _load_file(
+            path, scale, skip_non_triangles, use_native, mtl_basepath
         )
         if len(tv):
             min_height = min(min_height, float(tv[:, :, 1].min()))
@@ -150,8 +175,8 @@ def load_scene(
         else:  # mtl
             base = len(materials)
             mdir = mtl_basepath or os.path.dirname(os.path.abspath(path))
-            if model.materials:
-                for m in model.materials:
+            if obj_materials:
+                for m in obj_materials:
                     maps = {}
                     for kind, texname in (
                         ("albedo", m.diffuse_texname),
@@ -184,7 +209,7 @@ def load_scene(
                         )
                     )
                 # emissive MTLs: emission vector / diffuse mismatch — patch
-                for i, m in enumerate(model.materials):
+                for i, m in enumerate(obj_materials):
                     if float(np.max(m.emission)) > 0:
                         materials[base + i]["color"] = m.emission
                         materials[base + i]["emission"] = 1.0
