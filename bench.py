@@ -59,6 +59,7 @@ def main() -> int:
             scale=0.05,
             env=env,
             rng_seed=0,
+            accel=args.accel if args.accel != "brute" else None,
         )  # the reference hero scene (optixSphere.cpp:829-841)
         camera = Camera(eye=(0.0, 2.0, 6.0), lookat=(0.0, 0.5, 0.0))
     else:  # fallback: procedural
@@ -86,7 +87,7 @@ def main() -> int:
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
     )
-    if args.accel != "brute":
+    if args.accel != "brute" and scene.accel is None:
         scene = build_accel(scene, kind=args.accel)
 
     cam = camera_arrays(camera.with_aspect(cfg.width, cfg.height), cfg)

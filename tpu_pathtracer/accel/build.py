@@ -54,20 +54,42 @@ def morton_order(vertices: np.ndarray) -> np.ndarray:
     return np.argsort(codes, kind="stable")
 
 
+def build_accel_arrays(vertices: np.ndarray, kind: str = "cluster", **kw):
+    """Host-side accel build over [T,3,3] numpy vertices.
+
+    Returns (perm, accel): the Morton permutation to apply to every
+    per-triangle array, and the accel structure for the permuted order.
+    """
+    from tpu_pathtracer.accel.cluster import build_cluster_accel
+    from tpu_pathtracer.accel.lbvh import build_lbvh
+
+    perm = morton_order(vertices)
+    permuted = np.ascontiguousarray(vertices[perm])
+    if kind == "cluster":
+        accel = build_cluster_accel(permuted, **kw)
+    elif kind == "bvh":
+        accel = build_lbvh(permuted, **kw)
+    else:
+        raise ValueError(f"unknown accel kind: {kind!r}")
+    return perm, accel
+
+
 def build_accel(scene, kind: str = "cluster", **kw):
     """Permute `scene` into Morton order and attach an accel structure.
 
     Returns a new Scene with `.accel` set.  kind: "cluster" | "bvh".
+
+    NOTE: this round-trips the geometry device->host.  When building a
+    scene from files prefer `scene.builder.load_scene(..., accel=kind)`,
+    which builds on host arrays before the device upload (the first D2H
+    readback on a tunneled TPU can stall for minutes).
     """
     import jax.numpy as jnp
-
-    from tpu_pathtracer.accel.cluster import build_cluster_accel
-    from tpu_pathtracer.accel.lbvh import build_lbvh
 
     verts = np.asarray(scene.vertices)
     if verts.shape[0] == 0:
         return scene
-    perm = morton_order(verts)
+    perm, accel = build_accel_arrays(verts, kind=kind, **kw)
 
     permuted = scene.replace(
         vertices=jnp.asarray(verts[perm]),
@@ -76,12 +98,6 @@ def build_accel(scene, kind: str = "cluster", **kw):
         mat_ids=jnp.asarray(np.asarray(scene.mat_ids)[perm]),
         tri_attrs=jnp.asarray(np.asarray(scene.tri_attrs)[perm]),
     )
-    if kind == "cluster":
-        accel = build_cluster_accel(np.asarray(permuted.vertices), **kw)
-    elif kind == "bvh":
-        accel = build_lbvh(np.asarray(permuted.vertices), **kw)
-    else:
-        raise ValueError(f"unknown accel kind: {kind!r}")
     return permuted.replace(accel=accel)
 
 

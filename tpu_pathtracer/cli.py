@@ -73,7 +73,6 @@ def build_from_args(args):
     """(scene, camera, cfg) from parsed CLI args."""
     import jax.numpy as jnp
 
-    from tpu_pathtracer.accel.build import build_accel
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.render.camera import Camera
     from tpu_pathtracer.render.envmap import build_env_cdf
@@ -115,15 +114,14 @@ def build_from_args(args):
             env=env,
             material_source=args.materials,
             rng_seed=args.seed,
+            accel=args.accel if args.accel != "brute" else None,
         )
         plog.info(
             "scene",
             f"loaded {scene.num_triangles} triangles, "
-            f"{scene.materials.num_materials} materials from {len(args.scene)} files",
+            f"{scene.materials.num_materials} materials from {len(args.scene)} files"
+            + (f", {args.accel} accel" if args.accel != "brute" else ""),
         )
-        if args.accel != "brute":
-            scene = build_accel(scene, kind=args.accel)
-            plog.info("accel", f"built {args.accel} accel")
     else:
         from tpu_pathtracer.scene.procedural import three_spheres_scene
 

@@ -117,6 +117,7 @@ def load_scene(
     rng_seed: Optional[int] = 0,
     mtl_basepath: Optional[str] = None,
     use_native: bool = True,
+    accel: Optional[str] = None,
 ) -> Scene:
     """Load OBJ files into a Scene.
 
@@ -243,4 +244,21 @@ def load_scene(
     mat_ids = np.concatenate(all_mid, axis=0) if all_mid else np.zeros((0,), np.int32)
 
     table = make_material_table(materials, pool.build())
-    return make_scene(vertices, normals, uvs, mat_ids, table, env=env)
+
+    accel_obj = None
+    if accel is not None and len(vertices):
+        # Build on host arrays *before* the device upload: the first
+        # device->host readback on a tunneled TPU can stall for minutes,
+        # which scene.accel.build_accel(scene) would trigger.
+        from tpu_pathtracer.accel.build import build_accel_arrays
+
+        perm, accel_obj = build_accel_arrays(vertices, kind=accel)
+        vertices = vertices[perm]
+        normals = normals[perm]
+        uvs = uvs[perm]
+        mat_ids = mat_ids[perm]
+
+    scene = make_scene(vertices, normals, uvs, mat_ids, table, env=env)
+    if accel_obj is not None:
+        scene = scene.replace(accel=accel_obj)
+    return scene
