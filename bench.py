@@ -71,12 +71,15 @@ def main() -> int:
     n_pix = args.width * args.height
     tiles = args.tiles
     if tiles == 0:
-        # Keep per-launch lane batches near ~256k (regeneration mode uses
-        # one lane per pixel regardless of spp).
-        per_tile = 262144
-        tiles = max(1, n_pix // per_tile)
-        while n_pix % tiles:
-            tiles -= 1
+        if args.spp > 1:
+            # Streaming work-queue renderer handles the whole frame with a
+            # fixed 256k-lane pool; no tiling needed.
+            tiles = 1
+        else:
+            per_tile = 262144
+            tiles = max(1, n_pix // per_tile)
+            while n_pix % tiles:
+                tiles -= 1
     cfg = RenderConfig(
         width=args.width,
         height=args.height,

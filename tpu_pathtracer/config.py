@@ -61,6 +61,10 @@ class RenderConfig:
     # lane-iterations at reference RR rates).  Falls back to the wide
     # schedule when samples_per_launch == 1 (nothing to respawn).
     regenerate: bool = True
+    # Lane-pool size for the streaming work-queue renderer (big launches
+    # stream all pixels through this many persistent lanes; the straggler
+    # tail is paid once per frame instead of once per tile).
+    stream_lanes: int = 262144
 
     # ---- estimator behaviour -------------------------------------------
     # "reference": clone the reference's quirky estimator exactly:

