@@ -27,7 +27,7 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--spp", type=int, default=10, help="samples per launch (reference: 10)")
-    ap.add_argument("--accel", default="cluster", choices=["brute", "cluster", "bvh"])
+    ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
     args = ap.parse_args()
 
@@ -59,7 +59,8 @@ def main() -> int:
             scale=0.05,
             env=env,
             rng_seed=0,
-            accel=args.accel if args.accel != "brute" else None,
+            accel=("cluster" if args.accel == "auto" else args.accel)
+            if args.accel != "brute" else None,
         )  # the reference hero scene (optixSphere.cpp:829-841)
         camera = Camera(eye=(0.0, 2.0, 6.0), lookat=(0.0, 0.5, 0.0))
     else:  # fallback: procedural
@@ -90,7 +91,7 @@ def main() -> int:
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
     )
-    if args.accel != "brute" and scene.accel is None:
+    if args.accel not in ("brute", "auto") and scene.accel is None:
         scene = build_accel(scene, kind=args.accel)
 
     cam = camera_arrays(camera.with_aspect(cfg.width, cfg.height), cfg)

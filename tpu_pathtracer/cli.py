@@ -38,7 +38,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--lookat", default="0,0,0", help="camera look-at")
     p.add_argument("--fov", type=float, default=50.0, help="vertical FOV degrees")
     p.add_argument("--dof", action=argparse.BooleanOptionalAction, default=True, help="thin-lens depth of field (reference default on)")
-    p.add_argument("--accel", default="cluster", choices=["brute", "cluster", "bvh"], help="intersection structure")
+    p.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"], help="intersection structure (auto = brute for small scenes, cluster otherwise)")
     p.add_argument("--materials", default="convention", choices=["convention", "mtl"], help="material source for OBJ scenes")
     p.add_argument("--rr-mode", default="reference", choices=["reference", "standard"])
     p.add_argument("--tile-pixels", type=int, default=0, help="pixels per launch tile (0 = whole frame)")
@@ -114,7 +114,8 @@ def build_from_args(args):
             env=env,
             material_source=args.materials,
             rng_seed=args.seed,
-            accel=args.accel if args.accel != "brute" else None,
+            accel=("cluster" if args.accel == "auto" else args.accel)
+            if args.accel != "brute" else None,
         )
         plog.info(
             "scene",

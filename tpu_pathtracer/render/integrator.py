@@ -688,7 +688,7 @@ def render_pixels_stream(
     scene: Scene,
     cam: dict,
     cfg: RenderConfig,
-    pixel_ids: jnp.ndarray,   # [Np] i32
+    pixel_ids: jnp.ndarray | None,  # [Np] i32, or None = arange(W*H)
     subframe: jnp.ndarray,
     sample_offset: jnp.ndarray,
     spp: int,
@@ -710,8 +710,14 @@ def render_pixels_stream(
     global (pixel, sample, subframe) counters and each pixel's samples
     accumulate in sample order on a single lane.
     """
-    n_pix = pixel_ids.shape[0]
+    identity = pixel_ids is None  # frame render: slot IS the pixel id
+    n_pix = (cfg.width * cfg.height) if identity else pixel_ids.shape[0]
     lanes = min(lanes, n_pix)
+
+    def slot_to_pixel(slot):
+        if identity:
+            return slot
+        return pixel_ids[jnp.minimum(slot, n_pix - 1)]
 
     def make_path(pix, sample_i):
         seeds0 = rng.make_seeds(pix, sample_offset + sample_i, subframe)
@@ -720,7 +726,7 @@ def render_pixels_stream(
         )
 
     slot0 = jnp.arange(lanes, dtype=jnp.int32)       # position in pixel_ids
-    pix0 = pixel_ids[slot0]
+    pix0 = slot_to_pixel(slot0)
     o0, d0, s0 = make_path(pix0, jnp.zeros_like(pix0))
 
     state = dict(
@@ -775,14 +781,14 @@ def render_pixels_stream(
             jnp.where(pixel_done[:, None], lane_accum / jnp.float32(spp), 0.0)
         )
 
-        # -- work queue: pull the next pixel via prefix sum --------------
-        rank = jnp.cumsum(pixel_done.astype(jnp.int32)) - 1
-        new_slot = jnp.where(pixel_done, st["head"] + rank, st["slot"])
-        head = st["head"] + jnp.sum(pixel_done.astype(jnp.int32))
+        # -- work queue: pull the next pixel via prefix sum (MXU cumsum) --
+        from tpu_pathtracer.ops.scan import cumsum_i32
+
+        inc = cumsum_i32(pixel_done.astype(jnp.int32))
+        new_slot = jnp.where(pixel_done, st["head"] + inc - 1, st["slot"])
+        head = st["head"] + inc[-1]
         live_next = new_slot < n_pix
-        pix = jnp.where(
-            pixel_done, pixel_ids[jnp.minimum(new_slot, n_pix - 1)], st["pix"]
-        )
+        pix = jnp.where(pixel_done, slot_to_pixel(new_slot), st["pix"])
         sample_i = jnp.where(pixel_done, 0, sample_i)
         lane_accum = jnp.where(pixel_done[:, None], 0.0, lane_accum)
 
@@ -828,7 +834,7 @@ def render_pixels(
     scene: Scene,
     cam: dict,
     cfg: RenderConfig,
-    pixel_ids: jnp.ndarray,   # [Np] i32 flat pixel indices (y*W + x)
+    pixel_ids: jnp.ndarray | None,  # [Np] i32 flat ids, None = whole frame
     subframe: jnp.ndarray,    # scalar i32
     sample_offset: jnp.ndarray | int = 0,  # first global sample index
     spp: int | None = None,   # samples per pixel this launch
@@ -843,16 +849,23 @@ def render_pixels(
     if spp is None:
         spp = cfg.samples_per_launch
     sample_offset = jnp.asarray(sample_offset, dtype=jnp.int32)
+    n_pix = (
+        cfg.width * cfg.height if pixel_ids is None else pixel_ids.shape[0]
+    )
 
     if cfg.regenerate and spp > 1:
-        if pixel_ids.shape[0] > cfg.stream_lanes:
+        if n_pix > cfg.stream_lanes:
             return render_pixels_stream(
                 scene, cam, cfg, pixel_ids, subframe, sample_offset, spp,
                 cfg.stream_lanes,
             )
+        if pixel_ids is None:
+            pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
         return render_pixels_regen(
             scene, cam, cfg, pixel_ids, subframe, sample_offset, spp
         )
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
 
     np_ = pixel_ids.shape[0]
     pixel_rep = jnp.repeat(pixel_ids, spp)                    # [Np*spp]
@@ -891,8 +904,9 @@ def render_frame(
         _, out = jax.lax.scan(body, None, ids)
         img = out.reshape(n_pix, 3)
     else:
-        ids = jnp.arange(n_pix, dtype=jnp.int32)
-        img = render_pixels(scene, cam, cfg, ids, subframe)
+        # None = identity pixel mapping: the streaming renderer then skips
+        # the per-iteration pixel-id gather.
+        img = render_pixels(scene, cam, cfg, None, subframe)
     return img.reshape(cfg.height, cfg.width, 3)
 
 
