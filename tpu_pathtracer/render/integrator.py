@@ -156,23 +156,42 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
     hit_pos = origins + hit.t[:, None] * ray_dir
 
     # ---- texture-driven material properties (cu:682-717) -------------
-    pool = m.texture_quads
     has_map = ma[:, S.MAT_HAS_MAP] > 0.5               # [N,4]
-    map_off = ma[:, S.MAT_MAP_OFFSET].astype(jnp.int32)
-    map_w = ma[:, S.MAT_MAP_WIDTH].astype(jnp.int32)
-    map_h = ma[:, S.MAT_MAP_HEIGHT].astype(jnp.int32)
+    if m.bundled:
+        # All maps of a material share dims: ONE gather serves all four.
+        from tpu_pathtracer.render.texsample import sample_bundle
 
-    def prop(kind: int, fallback):
-        return material_property(
-            pool,
-            has_map[:, kind],
-            map_off[:, kind],
-            map_w[:, kind],
-            map_h[:, kind],
-            fallback,
+        bundle_samples = sample_bundle(
+            m.texture_bundles,
+            ma[:, S.MAT_BUNDLE_OFFSET].astype(jnp.int32),
+            ma[:, S.MAT_BUNDLE_WIDTH].astype(jnp.int32),
+            ma[:, S.MAT_BUNDLE_HEIGHT].astype(jnp.int32),
             tex_u,
             tex_v,
         )
+
+        def prop(kind: int, fallback):
+            return jnp.where(
+                has_map[:, kind][:, None], bundle_samples[kind], fallback
+            )
+
+    else:
+        pool = m.texture_quads
+        map_off = ma[:, S.MAT_MAP_OFFSET].astype(jnp.int32)
+        map_w = ma[:, S.MAT_MAP_WIDTH].astype(jnp.int32)
+        map_h = ma[:, S.MAT_MAP_HEIGHT].astype(jnp.int32)
+
+        def prop(kind: int, fallback):
+            return material_property(
+                pool,
+                has_map[:, kind],
+                map_off[:, kind],
+                map_w[:, kind],
+                map_h[:, kind],
+                fallback,
+                tex_u,
+                tex_v,
+            )
 
     diffuse_albedo = prop(0, ma[:, S.MAT_DIFFUSE])
 

@@ -79,6 +79,59 @@ def sample_bilinear_pool(
     )
 
 
+def sample_bundle(
+    bundles: jnp.ndarray,    # [Pb,16] u32: 4 map kinds x 4 quad words
+    offset: jnp.ndarray,     # [N] i32
+    width: jnp.ndarray,      # [N] i32
+    height: jnp.ndarray,     # [N] i32
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+):
+    """Bilinear-sample all four map kinds with ONE row gather.
+
+    Used when every material's maps share dimensions (MaterialTable
+    .bundled); returns a list of four [N,3] rgb arrays in kind order
+    (albedo, roughness, normal, metallic).
+    """
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    x = u * width.astype(jnp.float32) - 0.5
+    y = v * height.astype(jnp.float32) - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    s = x - x0f
+    t = y - y0f
+    x0 = jnp.mod(x0f.astype(jnp.int32), width)
+    y0 = jnp.mod(y0f.astype(jnp.int32), height)
+
+    rows = bundles[offset + y0 * width + x0]       # [N,16] — the ONE gather
+
+    outs = []
+    for k in range(4):
+        q = rows[:, 4 * k : 4 * k + 4]
+        r00, g00, b00 = _decode_rgb(q[:, 0])
+        r10, g10, b10 = _decode_rgb(q[:, 1])
+        r01, g01, b01 = _decode_rgb(q[:, 2])
+        r11, g11, b11 = _decode_rgb(q[:, 3])
+
+        def lerp2(c00, c10, c01, c11):
+            c0 = c00 + (c10 - c00) * s
+            c1 = c01 + (c11 - c01) * s
+            return c0 + (c1 - c0) * t
+
+        outs.append(
+            jnp.stack(
+                [
+                    lerp2(r00, r10, r01, r11),
+                    lerp2(g00, g10, g01, g11),
+                    lerp2(b00, b10, b01, b11),
+                ],
+                axis=-1,
+            )
+        )
+    return outs
+
+
 def material_property(
     quads: jnp.ndarray,
     has_map: jnp.ndarray,    # [N] bool

@@ -47,6 +47,11 @@ MAT_HAS_MAP = slice(12, 16)     # albedo, roughness, normal, metallic
 MAT_MAP_OFFSET = slice(16, 20)
 MAT_MAP_WIDTH = slice(20, 24)
 MAT_MAP_HEIGHT = slice(24, 28)
+# Bundled-texture descriptor (all of a material's maps share dimensions;
+# one [P,16] row then serves all four maps in a single gather).
+MAT_BUNDLE_OFFSET = 28
+MAT_BUNDLE_WIDTH = 29
+MAT_BUNDLE_HEIGHT = 30
 
 # Column layout of Scene.tri_attrs ([T,32]).
 TRI_V = slice(0, 9)       # v0 v1 v2 xyz
@@ -80,6 +85,12 @@ class MaterialTable:
     # [P,4] uint32: per texel, its 2x2 wrap-neighbourhood as RGBA8 words
     # (texel, x+1, y+1, x+1&y+1).
     texture_quads: jnp.ndarray
+    # [Pb,16] uint32 bundle pool: 4 map kinds x 4 quad words per texel —
+    # only populated when every material's maps share dimensions
+    # (`bundled` static flag), in which case shading does ONE texture
+    # gather per bounce instead of four.
+    texture_bundles: jnp.ndarray
+    bundled: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_materials(self) -> int:
@@ -237,6 +248,41 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
         # f32 offsets in the attr matrix stay exact below 2^24.
         raise ValueError("texture pool exceeds 16.7M texels; offsets lose f32 precision")
 
+    # ---- texture bundling --------------------------------------------
+    # When every material's present maps share dimensions, interleave the
+    # four kinds into one [Pb,16] row pool: one gather serves all maps.
+    bundled = True
+    for mat in materials:
+        dims = {
+            (desc[1], desc[2]) for desc in mat.get("maps", {}).values()
+        }
+        if len(dims) > 1:
+            bundled = False
+            break
+    bundle_rows = [np.zeros((1, 16), np.uint32)]  # row 0 = no-map sink
+    bundle_off = 1
+    if bundled:
+        attrs[:, MAT_BUNDLE_WIDTH] = 1.0
+        attrs[:, MAT_BUNDLE_HEIGHT] = 1.0
+        for i, mat in enumerate(materials):
+            maps = mat.get("maps", {})
+            if not maps:
+                continue
+            w, h = next(iter(maps.values()))[1], next(iter(maps.values()))[2]
+            n_texels = w * h
+            bundle = np.zeros((n_texels, 16), np.uint32)
+            for k, kind in enumerate(kinds):
+                desc = maps.get(kind)
+                if desc is not None:
+                    off = desc[0]
+                    bundle[:, 4 * k : 4 * k + 4] = texture_quads[off : off + n_texels]
+            bundle_rows.append(bundle)
+            attrs[i, MAT_BUNDLE_OFFSET] = float(bundle_off)
+            attrs[i, MAT_BUNDLE_WIDTH] = float(w)
+            attrs[i, MAT_BUNDLE_HEIGHT] = float(h)
+            bundle_off += n_texels
+    texture_bundles = np.concatenate(bundle_rows, axis=0)
+
     return MaterialTable(
         attrs=jnp.asarray(attrs),
         diffuse_color=jnp.asarray(attrs[:, MAT_DIFFUSE]),
@@ -250,6 +296,8 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
         map_width=jnp.asarray(attrs[:, MAT_MAP_WIDTH].astype(np.int32)),
         map_height=jnp.asarray(attrs[:, MAT_MAP_HEIGHT].astype(np.int32)),
         texture_quads=jnp.asarray(texture_quads.astype(np.uint32)),
+        texture_bundles=jnp.asarray(texture_bundles),
+        bundled=bundled,
     )
 
 
