@@ -29,6 +29,11 @@ def main() -> int:
     ap.add_argument("--spp", type=int, default=10, help="samples per launch (reference: 10)")
     ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
+    ap.add_argument(
+        "--config", type=int, default=0, choices=range(6),
+        help="BASELINE.json benchmark config preset (1-5); 0 = headline "
+        "(suitcase @ given dims/depth)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,24 +55,58 @@ def main() -> int:
 
     ref = "/root/reference"
     env = make_env(procedural_hdr(256, 512))
+    accel_kind = (
+        ("cluster" if args.accel == "auto" else args.accel)
+        if args.accel != "brute"
+        else None
+    )
+    env_mode = "equirect"
+    scene = None
+    camera = Camera(eye=(0.0, 2.0, 6.0), lookat=(0.0, 0.5, 0.0))
 
-    if os.path.exists(f"{ref}/suitcase.obj"):
+    def obj_scene(files, scale):
         from tpu_pathtracer.scene.builder import load_scene
 
-        scene = load_scene(
-            [f"{ref}/suitcase.obj", f"{ref}/test.obj"],
-            scale=0.05,
-            env=env,
-            rng_seed=0,
-            accel=("cluster" if args.accel == "auto" else args.accel)
-            if args.accel != "brute" else None,
-        )  # the reference hero scene (optixSphere.cpp:829-841)
-        camera = Camera(eye=(0.0, 2.0, 6.0), lookat=(0.0, 0.5, 0.0))
-    else:  # fallback: procedural
-        from tpu_pathtracer.scene.procedural import three_spheres_scene
+        return load_scene(
+            [f"{ref}/{f}" for f in files],
+            scale=scale, env=env, rng_seed=0, accel=accel_kind,
+        )
 
-        scene = three_spheres_scene().replace(env=env)
+    # BASELINE.json benchmark config presets.
+    if args.config == 1:
+        # analytic sphere, diffuse, constant sky, 512x512 @ 64 spp
+        from tpu_pathtracer.scene.procedural import single_sphere_scene
+
+        scene = single_sphere_scene(stacks=32, slices=64)
+        args.width = args.height = 512
+        args.spp, args.depth = 8, 8   # 8 spp/launch; 64 spp = 8 launches
+        env_mode = "constant"
         camera = Camera()
+    elif args.config == 2:
+        scene = obj_scene(["monkey.obj"], 1.0)
+        args.depth = 4
+        camera = Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0))
+    elif args.config == 3 or args.config == 0:
+        if os.path.exists(f"{ref}/suitcase.obj"):
+            # the reference hero scene (optixSphere.cpp:829-841)
+            scene = obj_scene(["suitcase.obj", "test.obj"], 0.05)
+        else:
+            from tpu_pathtracer.scene.procedural import three_spheres_scene
+
+            scene = three_spheres_scene().replace(env=env)
+            camera = Camera()
+    elif args.config == 4:
+        # statue/lion substitutes: high-poly, deep traversal
+        from tpu_pathtracer.accel.build import build_accel as _ba
+        from tpu_pathtracer.scene.procedural import high_poly_scene
+
+        scene = high_poly_scene(total_tris=100_000).replace(env=env)
+        if accel_kind:
+            scene = _ba(scene, kind=accel_kind)
+        camera = Camera(eye=(0, 3, 10), lookat=(0, 1, 0))
+    elif args.config == 5:
+        scene = obj_scene(["tower.obj", "fish.obj", "test.obj"], 1.0)
+        camera = Camera(eye=(0, 1.5, 5), lookat=(0, 0.6, 0))
 
     n_pix = args.width * args.height
     tiles = args.tiles
@@ -87,7 +126,7 @@ def main() -> int:
         samples_per_launch=args.spp,
         max_depth=args.depth,
         dof=False,
-        env_mode="equirect",
+        env_mode=env_mode,
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
     )
@@ -112,8 +151,10 @@ def main() -> int:
     mrays = rays_per_launch * args.frames / dt / 1e6
     spp_per_sec = args.spp * args.frames / dt
 
+    scene_name = {0: "suitcase PBR", 1: "sphere/constant-sky", 2: "monkey+env",
+                  3: "suitcase PBR", 4: "high-poly 100k", 5: "tower+fish+test"}[args.config]
     result = {
-        "metric": "Mrays/sec/chip, suitcase PBR scene, "
+        "metric": f"Mrays/sec/chip, {scene_name} scene, "
         f"{args.width}x{args.height}, depth {args.depth}, {args.accel} accel "
         f"({jax.devices()[0].platform})",
         "value": round(mrays, 3),

@@ -132,3 +132,16 @@ def test_post_chain_end_to_end(sphere_scene):
     arr = np.asarray(out)
     assert arr.dtype == np.uint8
     assert arr.min() >= 0 and arr.max() <= 255
+
+
+def test_high_poly_scene_smoke():
+    # BASELINE config-4 substitute (statue/lion assets are stripped):
+    # dense geometry through the cluster accel end-to-end.
+    from tpu_pathtracer.accel.build import build_accel
+    from tpu_pathtracer.scene.procedural import high_poly_scene
+
+    scene = build_accel(high_poly_scene(total_tris=5000), kind="cluster")
+    cfg = tiny_cfg(intersector="cluster", samples_per_launch=1)
+    img = render(scene, cfg, camera=Camera(eye=(0, 3, 10), lookat=(0, 1, 0)))
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0

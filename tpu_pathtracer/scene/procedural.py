@@ -104,6 +104,52 @@ def three_spheres_scene(stacks: int = 16, slices: int = 32) -> Scene:
     return make_scene(vertices, normals, None, ids, table)
 
 
+def high_poly_scene(
+    total_tris: int = 100_000,
+    n_objects: int = 5,
+    seed: int = 0,
+) -> Scene:
+    """Dense test scene substituting the stripped statue1-4/lion.obj
+    assets (BASELINE.md config 4: "high-poly scenes: deep BVH traversal").
+
+    n_objects finely-tessellated spheres with varied materials on a
+    ground plane, totalling ~total_tris triangles.
+    """
+    rs = np.random.RandomState(seed)
+    per_obj = max(total_tris // max(n_objects, 1), 8)
+    stacks = max(4, int(np.sqrt(per_obj / 4)))
+    slices = 2 * stacks
+
+    verts, norms, ids = [], [], []
+    mats = []
+    for i in range(n_objects):
+        c = rs.randn(3) * 2.0
+        c[1] = abs(c[1]) + 1.0
+        sv, sn = sphere_mesh(c, 0.8 + 0.4 * rs.rand(), stacks, slices)
+        verts.append(sv)
+        norms.append(sn)
+        ids.append(np.full(len(sv), i, np.int32))
+        mats.append(
+            dict(
+                color=tuple(rs.rand(3).tolist()),
+                roughness=float(rs.rand()),
+                metallic=bool(rs.rand() < 0.3),
+            )
+        )
+    mats.append(dict(color=(0.4, 0.4, 0.4), roughness=0.6))
+    gv, gn = ground_plane(0.0, 50.0)
+    verts.append(gv)
+    norms.append(gn)
+    ids.append(np.full(2, n_objects, np.int32))
+    return make_scene(
+        np.concatenate(verts),
+        np.concatenate(norms),
+        None,
+        np.concatenate(ids),
+        make_material_table(mats),
+    )
+
+
 def single_sphere_scene(
     radius: float = 1.0,
     stacks: int = 16,
