@@ -79,3 +79,14 @@ def test_indivisible_rejected(scene):
         render_frame_sharded(
             scene, cam, cfg, jnp.int32(0), make_mesh(8), mode="samples"
         )
+
+
+def test_pixel_sharding_streaming_path(scene):
+    # Force the streaming work-queue renderer inside shard_map workers.
+    cfg = cfg_(stream_lanes=2)
+    cam = camera_arrays(Camera(), cfg)
+    single = np.asarray(render_frame(scene, cam, cfg, jnp.int32(0)))
+    sharded = np.asarray(
+        render_frame_sharded(scene, cam, cfg, jnp.int32(0), make_mesh(4), mode="pixels")
+    )
+    np.testing.assert_array_equal(sharded, single)

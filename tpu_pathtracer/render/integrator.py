@@ -745,7 +745,12 @@ def render_pixels_stream(
         )
 
     slot0 = jnp.arange(lanes, dtype=jnp.int32)       # position in pixel_ids
+    if not identity:
+        # Tie to the sharded input so shard_map varying-axes tracking sees
+        # the whole carry as device-varying.
+        slot0 = slot0 + 0 * pixel_ids[:lanes]
     pix0 = slot_to_pixel(slot0)
+    vary = pix0[0] * 0  # varying zero scalar (i32)
     o0, d0, s0 = make_path(pix0, jnp.zeros_like(pix0))
 
     state = dict(
@@ -759,8 +764,9 @@ def render_pixels_stream(
         depth=jnp.full_like(pix0, cfg.max_depth, dtype=jnp.int32),
         sample_i=jnp.zeros_like(pix0),
         lane_accum=jnp.zeros_like(o0),
-        out=jnp.zeros((n_pix + 1, 3), jnp.float32),   # +1 = retired sink
-        head=jnp.int32(lanes),
+        out=jnp.zeros((n_pix + 1, 3), jnp.float32)
+        + vary.astype(jnp.float32),                   # +1 row = retired sink
+        head=jnp.int32(lanes) + vary,
         spec_last=jnp.ones_like(pix0, dtype=bool),
         it=jnp.int32(0),
     )
