@@ -25,7 +25,8 @@ def clustered():
 def run_kernel(scene, o, d, r=128):
     acc = scene.accel
     bt, bp = intersect_clusters_pallas(
-        acc.tris16, acc.aabb8, o, d, 0.01, 1e16, rays_per_tile=r, interpret=True
+        acc.tris16, acc.aabb8, acc.order, o, d, 0.01, 1e16,
+        rays_per_tile=r, interpret=True,
     )
     prim = np.where(np.asarray(bp) == 0x7FFFFFFF, -1, np.asarray(bp))
     return np.asarray(bt), prim

@@ -28,9 +28,13 @@ class ClusterAccel:
     aabb_min: jnp.ndarray   # [C,3]
     aabb_max: jnp.ndarray   # [C,3]
     # Pallas kernel layouts (ops/intersect_pallas): component-row triangle
-    # clusters and 8-wide AABB rows.
+    # clusters, 8-wide AABB rows, per-octant front-to-back visit orders,
+    # and the scene bounds used for ray sort keys.
     tris16: jnp.ndarray     # [C,16,K] f32
     aabb8: jnp.ndarray      # [C,8] f32
+    order: jnp.ndarray      # [8,C] i32
+    scene_lo: jnp.ndarray   # [3] f32
+    scene_hi: jnp.ndarray   # [3] f32
     # static metadata
     cluster_size: int = struct.field(pytree_node=False, default=128)
 
@@ -56,14 +60,36 @@ class ClusterAccel:
                 intersect_clusters_pallas,
             )
 
+            # Software optixReorder: sort rays by (origin cell, direction
+            # octant) so packets are coherent and the kernel's per-octant
+            # front-to-back order can cull occluded clusters.
+            n = origins.shape[0]
+            ext = jnp.maximum(self.scene_hi - self.scene_lo, 1e-6)
+            q = jnp.clip(
+                ((origins - self.scene_lo) / ext * 8.0).astype(jnp.int32), 0, 7
+            )
+            octant = (
+                (directions[:, 0] > 0).astype(jnp.int32)
+                + 2 * (directions[:, 1] > 0).astype(jnp.int32)
+                + 4 * (directions[:, 2] > 0).astype(jnp.int32)
+            )
+            key = (
+                (octant << 9) | (q[:, 0] << 6) | (q[:, 1] << 3) | q[:, 2]
+            ).astype(jnp.uint32)
+            _, perm = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+
             best_t, best_prim = intersect_clusters_pallas(
                 self.tris16,
                 self.aabb8,
-                origins,
-                directions,
+                self.order,
+                origins[perm],
+                directions[perm],
                 t_min=float(t_min),
                 t_max=float(t_max),
             )
+            inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+            best_t = best_t[inv]
+            best_prim = best_prim[inv]
             return finalize_hit(
                 vertices, origins, directions, best_t, best_prim, t_min, t_max
             )
@@ -167,16 +193,20 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128) -> Cluste
     amin = blocks.reshape(c, -1, 3).min(axis=1)
     amax = blocks.reshape(c, -1, 3).max(axis=1)
 
-    from tpu_pathtracer.ops.intersect_pallas import pack_cluster_tris
+    from tpu_pathtracer.ops.intersect_pallas import octant_orders, pack_cluster_tris
 
     aabb8 = np.zeros((c, 8), np.float32)
     aabb8[:, 0:3] = amin
     aabb8[:, 3:6] = amax
 
+    flat = vertices.reshape(-1, 3) if t_count else np.zeros((1, 3), np.float32)
     return ClusterAccel(
         aabb_min=jnp.asarray(amin, jnp.float32),
         aabb_max=jnp.asarray(amax, jnp.float32),
         tris16=jnp.asarray(pack_cluster_tris(vertices, cluster_size)),
         aabb8=jnp.asarray(aabb8),
+        order=jnp.asarray(octant_orders(aabb8)),
+        scene_lo=jnp.asarray(flat.min(axis=0), jnp.float32),
+        scene_hi=jnp.asarray(flat.max(axis=0), jnp.float32),
         cluster_size=cluster_size,
     )

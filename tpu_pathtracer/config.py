@@ -97,13 +97,13 @@ class RenderConfig:
     intersect_block: int = 256
     # Which intersector: "auto" | "brute" | "cluster" | "bvh"
     intersector: str = "auto"
-    # Route intersection through the Pallas packet-traversal kernel
-    # (ops/intersect_pallas).  Currently default-off: on v5e the kernel's
-    # per-tile cluster skipping works (2x fewer tests on coherent packets)
-    # but its inner loop lowers ~4x slower than the fused XLA scan, so the
-    # XLA cluster path wins end-to-end (58 vs 92 ms per 1M coherent rays).
-    # The kernel is kept correct + tested for further Mosaic tuning.
-    use_pallas: bool = False
+    # Route cluster intersection through the Pallas packet-traversal
+    # kernel (ops/intersect_pallas): rays sorted by (origin cell, octant),
+    # clusters visited front-to-back per octant so best-t culls occluded
+    # geometry, per-packet pl.when skips.  Wins on mid/large scenes
+    # (monkey 15.7k tris: 1.60 vs 1.11 Mrays/s end-to-end on v5e); small
+    # scenes route to brute via intersector="auto" regardless.
+    use_pallas: bool = True
     # Accumulation dtype for the film. float32 matches the reference.
     accum_dtype: str = "float32"
 

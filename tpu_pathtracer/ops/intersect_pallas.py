@@ -42,6 +42,7 @@ _BIG_PRIM = np.int32(0x7FFFFFFF)
 
 def _cluster_kernel(
     aabb_ref,    # SMEM [C,8] f32: minx,miny,minz,maxx,maxy,maxz,pad,pad
+    order_ref,   # SMEM [8,C] i32: front-to-back cluster order per octant
     rays_ref,    # VMEM (R,8) f32: ox,oy,oz,dx,dy,dz,pad,pad
     tris_ref,    # VMEM [C,16,K] f32 rows: v0xyz(0-2), e1xyz(3-5), e2xyz(6-8)
     t_ref,       # VMEM out (R,1) f32
@@ -67,7 +68,19 @@ def _cluster_kernel(
     t_ref[:] = jnp.full_like(t_ref, t_max)
     prim_ref[:] = jnp.full_like(prim_ref, _BIG_PRIM)
 
-    def visit(c, _):
+    # Packet octant from lane 0 (input rays are octant-sorted, so packets
+    # are near-uniform; a mixed boundary packet only loses ordering
+    # quality, never correctness).  Visiting clusters front-to-back makes
+    # the (tnear <= best_t) slab condition cull everything behind the
+    # packet's first hits.
+    octant = (
+        (rays_ref[0, 3] > 0.0).astype(jnp.int32)
+        + 2 * (rays_ref[0, 4] > 0.0).astype(jnp.int32)
+        + 4 * (rays_ref[0, 5] > 0.0).astype(jnp.int32)
+    )
+
+    def visit(pos, _):
+        c = order_ref[octant, pos]
         # ---- packet slab test against cluster AABB (scalar-broadcast) --
         bminx = aabb_ref[c, 0]
         bminy = aabb_ref[c, 1]
@@ -147,6 +160,26 @@ def _cluster_kernel(
     jax.lax.fori_loop(0, num_clusters, visit, 0)
 
 
+def octant_orders(aabbs: np.ndarray) -> np.ndarray:
+    """[8,C] front-to-back cluster visit order per direction octant.
+
+    Clusters sorted by the min-corner projection onto the octant's
+    diagonal direction (entry-distance proxy)."""
+    amin = np.asarray(aabbs)[:, 0:3]
+    amax = np.asarray(aabbs)[:, 3:6]
+    orders = []
+    for oct_ in range(8):
+        sign = np.array(
+            [1.0 if oct_ & 1 else -1.0,
+             1.0 if oct_ & 2 else -1.0,
+             1.0 if oct_ & 4 else -1.0]
+        )
+        near_corner = np.where(sign > 0, amin, amax)
+        proj = near_corner @ sign
+        orders.append(np.argsort(proj, kind="stable"))
+    return np.stack(orders).astype(np.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rays_per_tile", "t_min", "t_max", "interpret"),
@@ -154,6 +187,7 @@ def _cluster_kernel(
 def intersect_clusters_pallas(
     tris16: jnp.ndarray,    # [C,16,K] f32 component-row triangle clusters
     aabbs: jnp.ndarray,     # [C,8] f32 cluster bounds
+    order: jnp.ndarray,     # [8,C] i32 per-octant front-to-back order
     origins: jnp.ndarray,   # [N,3]
     directions: jnp.ndarray,
     t_min: float = 0.01,
@@ -161,7 +195,11 @@ def intersect_clusters_pallas(
     rays_per_tile: int = 512,
     interpret: bool = False,
 ):
-    """Returns (best_t [N], best_prim [N] — 0x7FFFFFFF where miss)."""
+    """Returns (best_t [N], best_prim [N] — 0x7FFFFFFF where miss).
+
+    For the front-to-back culling to bite, sort the rays by
+    (origin cell, direction octant) first — see ClusterAccel.intersect.
+    """
     n = origins.shape[0]
     c, _, k = tris16.shape
     r = rays_per_tile
@@ -187,6 +225,7 @@ def intersect_clusters_pallas(
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # aabbs (whole)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # octant orders
             pl.BlockSpec((r, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (c, 16, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
@@ -201,7 +240,7 @@ def intersect_clusters_pallas(
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(aabbs, rays, tris16)
+    )(aabbs, order, rays, tris16)
     return best_t[:n, 0], best_prim[:n, 0]
 
 
