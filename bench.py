@@ -29,6 +29,7 @@ def main() -> int:
     ap.add_argument("--spp", type=int, default=10, help="samples per launch (reference: 10)")
     ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
+    ap.add_argument("--nee", action="store_true", help="env importance sampling (config-3 'GGX + env importance sampling' fidelity)")
     ap.add_argument(
         "--config", type=int, default=0, choices=range(6),
         help="BASELINE.json benchmark config preset (1-5); 0 = headline "
@@ -55,6 +56,10 @@ def main() -> int:
 
     ref = "/root/reference"
     env = make_env(procedural_hdr(256, 512))
+    if args.nee:
+        from tpu_pathtracer.render.envmap import with_importance_sampling
+
+        env = with_importance_sampling(env)
     accel_kind = (
         ("cluster" if args.accel == "auto" else args.accel)
         if args.accel != "brute"
@@ -127,6 +132,7 @@ def main() -> int:
         max_depth=args.depth,
         dof=False,
         env_mode=env_mode,
+        env_importance_sampling=args.nee,
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
     )
@@ -165,6 +171,7 @@ def main() -> int:
             "spp_per_sec": round(spp_per_sec, 3),
             "sec_per_launch": round(dt / args.frames, 4),
             "triangles": int(scene.num_triangles),
+            "nee": args.nee,  # shadow rays not counted in rays_per_launch (conservative)
             "frames": args.frames,
         },
     }

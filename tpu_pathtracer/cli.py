@@ -41,6 +41,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"], help="intersection structure (auto = brute for small scenes, cluster otherwise)")
     p.add_argument("--materials", default="convention", choices=["convention", "mtl"], help="material source for OBJ scenes")
     p.add_argument("--rr-mode", default="reference", choices=["reference", "standard"])
+    p.add_argument("--nee", action="store_true", help="environment importance sampling (next-event estimation; beyond reference)")
     p.add_argument("--tile-pixels", type=int, default=0, help="pixels per launch tile (0 = whole frame)")
     p.add_argument("--checkpoint", default="", help="checkpoint file; saved every --checkpoint-every subframes")
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -89,9 +90,15 @@ def build_from_args(args):
         env = make_env(procedural_hdr(256, 512))
     elif args.env in ("sunsky", "constant"):
         env_mode = args.env
+        if args.nee:
+            raise SystemExit("--nee requires an equirect environment (procedural or .exr)")
     else:
         env = make_env(load_exr(args.env))
         plog.info("scene", f"loaded env map {args.env} {env.data.shape}")
+    if args.nee and env is not None:
+        from tpu_pathtracer.render.envmap import with_importance_sampling
+
+        env = with_importance_sampling(env)
 
     cfg = RenderConfig(
         width=width,
@@ -101,6 +108,7 @@ def build_from_args(args):
         dof=args.dof,
         env_mode=env_mode,
         rr_mode=args.rr_mode,
+        env_importance_sampling=args.nee,
         intersector=args.accel if args.scene else "brute",
         tile_pixels=args.tile_pixels,
     )
