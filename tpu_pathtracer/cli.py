@@ -51,6 +51,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--interactive", action="store_true", help="serve the interactive web viewer")
     p.add_argument("--port", type=int, default=8000, help="viewer port")
     p.add_argument("--seed", type=int, default=0, help="seed for random (untextured) materials")
+    p.add_argument("--debug-nans", action="store_true", help="abort on NaN/Inf in any kernel (jax_debug_nans; SURVEY §5 sanitizer analog)")
     p.add_argument("--verbosity", type=int, default=4)
     return p
 
@@ -149,6 +150,10 @@ def build_from_args(args):
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     from tpu_pathtracer.runtime.progressive import ProgressiveRenderer
     from tpu_pathtracer.utils import logging as plog
     from tpu_pathtracer.utils.image import save_image

@@ -38,6 +38,17 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def initialize_distributed(**kw) -> None:
+    """Multi-host init: wire this process into a jax.distributed cluster
+    (DCN across hosts; ICI within a slice).  Pass coordinator_address /
+    num_processes / process_id or rely on the TPU environment's
+    auto-detection.  After this, `make_mesh()` sees every chip in the
+    slice and pixel/sample sharding scales across hosts unchanged —
+    the SURVEY §5 "DCN across hosts via standard jax.distributed" recipe.
+    """
+    jax.distributed.initialize(**kw)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     """1-D device mesh over the first n (default: all) local devices."""
     devs = jax.devices()
