@@ -40,6 +40,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from tpu_pathtracer.utils.logging import enable_compile_cache
+
+    enable_compile_cache()
+
     from tpu_pathtracer.accel.build import build_accel
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.render.camera import Camera

@@ -150,6 +150,9 @@ def build_from_args(args):
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    from tpu_pathtracer.utils.logging import enable_compile_cache
+
+    enable_compile_cache()
     if args.debug_nans:
         import jax
 

@@ -44,3 +44,26 @@ def error(tag: str, message: str) -> None:
 
 def debug(tag: str, message: str) -> None:
     log("debug", tag, message)
+
+
+def enable_compile_cache(path: str = "~/.cache/tpu_pathtracer/jax") -> None:
+    """Point JAX's persistent compilation cache at a local directory.
+
+    The tunneled TPU's remote compile service is erratic (seconds to
+    minutes for identical kernels); caching compiled executables across
+    processes roughly halves CLI/bench cold starts.  No-op if the user
+    already configured a cache dir.
+    """
+    import os
+
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache_dir = os.path.expanduser(path)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimisation, never a requirement
+        pass
