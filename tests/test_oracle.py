@@ -1,0 +1,94 @@
+"""Cross-validation: vectorized JAX integrator vs the pure-numpy scalar
+oracle (SURVEY.md §4 tier 3: "CPU reference renderer ... same algorithms
+in pure numpy").  Identical counter-based seeds make the comparison
+near-bitwise; the gate tolerates the rare lane where float32 FMA
+differences flip a discrete decision."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer import oracle
+from tpu_pathtracer.config import RenderConfig
+from tpu_pathtracer.render.camera import Camera
+from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+from tpu_pathtracer.scene.procedural import (
+    single_sphere_scene,
+    three_spheres_scene,
+)
+
+REF = "/root/reference"
+
+
+def compare(scene, cfg, camera, min_match=0.98):
+    cam = camera_arrays(camera, cfg)
+    n = cfg.width * cfg.height
+    img_jax = np.asarray(render_frame(scene, cam, cfg, jnp.int32(0))).reshape(-1, 3)
+    img_orc = oracle.render(scene, cam, cfg, range(n), 0)
+    diff = np.abs(img_jax - img_orc).max(axis=1)
+    rel = diff / (1.0 + np.abs(img_jax).max(axis=1))
+    frac = float((rel < 1e-3).mean())
+    assert frac >= min_match, f"only {frac*100:.1f}% pixels match"
+    return frac
+
+
+def cfg_(**kw):
+    base = dict(
+        width=16, height=12, samples_per_launch=2, max_depth=4,
+        dof=False, env_mode="sunsky", intersector="brute", regenerate=False,
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_oracle_sunsky_spheres():
+    frac = compare(three_spheres_scene(stacks=6, slices=12), cfg_(), Camera())
+    assert frac == 1.0  # exact on this scene in practice
+
+
+def test_oracle_dof_and_constant_env():
+    compare(
+        single_sphere_scene(stacks=6, slices=12),
+        cfg_(dof=True, env_mode="constant"),
+        Camera(),
+    )
+
+
+def test_oracle_regeneration_schedules_match():
+    # The oracle validates ALL schedules at once (they are bitwise-equal).
+    scene = single_sphere_scene(stacks=6, slices=12)
+    compare(scene, cfg_(regenerate=True, env_mode="constant"), Camera())
+
+
+def test_oracle_standard_rr():
+    compare(
+        single_sphere_scene(stacks=6, slices=12),
+        cfg_(rr_mode="standard", env_mode="constant"),
+        Camera(),
+    )
+
+
+def test_oracle_glass():
+    from tests.test_integrator import make_single_material_sphere
+
+    scene = make_single_material_sphere(
+        dict(color=(1, 1, 1), roughness=0.1, transparent=True)
+    )
+    compare(scene, cfg_(env_mode="constant", max_depth=6), Camera(eye=(0, 0, 4)))
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference assets absent")
+def test_oracle_textured_monkey_equirect():
+    from tpu_pathtracer.scene.builder import load_scene
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    env = make_env(procedural_hdr(16, 32))
+    scene = load_scene([f"{REF}/monkey.obj"], env=env, rng_seed=0)
+    compare(
+        scene,
+        cfg_(env_mode="equirect", samples_per_launch=1, max_depth=3),
+        Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0)),
+    )

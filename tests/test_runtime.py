@@ -143,3 +143,22 @@ def test_count_segments(scene):
     n_primary = cfg.width * cfg.height * cfg.samples_per_launch
     assert segs >= n_primary          # every path traces at least once
     assert segs <= n_primary * (cfg.max_depth + 2)
+
+
+def test_viewer_resize(scene):
+    from tpu_pathtracer.viewer import serve
+
+    r = ProgressiveRenderer(scene, Camera(), cfg_())
+    httpd, stop = serve(r, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        assert (
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/resize?w=64&h=40").read()
+            == b"ok"
+        )
+        assert r.cfg.width == 64 and r.cfg.height == 40
+        png = urllib.request.urlopen(f"http://127.0.0.1:{port}/frame.png").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        stop.set()
+        httpd.shutdown()

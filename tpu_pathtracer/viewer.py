@@ -127,6 +127,18 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
                     with lock:
                         renderer.reset()
                     self._send(200, b"ok")
+                elif url.path == "/resize":
+                    # Resize reallocates the accumulator and resets
+                    # (reference handleResize, optixSphere.cpp:250-265).
+                    w = max(8, int(q.get("w", renderer.cfg.width)))
+                    h = max(8, int(q.get("h", renderer.cfg.height)))
+                    import jax.numpy as jnp
+
+                    with lock:
+                        renderer.cfg = renderer.cfg.replace(width=w, height=h)
+                        renderer.accum = jnp.zeros((h, w, 3), jnp.float32)
+                        renderer.set_camera(renderer.camera.with_aspect(w, h))
+                    self._send(200, b"ok")
                 else:
                     self._send(404, b"not found")
             except BrokenPipeError:
