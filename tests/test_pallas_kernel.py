@@ -61,9 +61,9 @@ def test_pack_cluster_tris_layout():
         [[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32
     )
     packed = pack_cluster_tris(verts, cluster_size=4)
-    assert packed.shape == (1, 16, 4)
-    np.testing.assert_allclose(packed[0, 0:3, 0], [0, 0, 0])   # v0
-    np.testing.assert_allclose(packed[0, 3:6, 0], [1, 0, 0])   # e1
-    np.testing.assert_allclose(packed[0, 6:9, 0], [0, 1, 0])   # e2
+    assert packed.shape == (1, 4, 16)
+    np.testing.assert_allclose(packed[0, 0, 0:3], [0, 0, 0])   # v0
+    np.testing.assert_allclose(packed[0, 0, 3:6], [1, 0, 0])   # e1
+    np.testing.assert_allclose(packed[0, 0, 6:9], [0, 1, 0])   # e2
     # padding triangles are all-zero (degenerate, det == 0)
-    np.testing.assert_allclose(packed[0, :, 1:], 0.0)
+    np.testing.assert_allclose(packed[0, 1:, :], 0.0)

@@ -7,7 +7,7 @@ optixSphere.cu:99-118) designed for how a TPU actually executes:
 * The grid partitions the ray batch into tiles of R rays; each grid step
   owns one tile ("ray packet").
 * The whole clustered scene (Morton-ordered clusters of K triangles, 16
-  floats per triangle in component-row layout [C,16,K]) lives in VMEM —
+  floats per triangle, component-column layout [C,K,16]) lives in VMEM —
   at reference scene sizes that is a few hundred KB, i.e. the scene rides
   next to the compute units for the entire launch.
 * Per cluster, the packet does a vectorised slab test of all R rays
@@ -43,30 +43,37 @@ _BIG_PRIM = np.int32(0x7FFFFFFF)
 def _cluster_kernel(
     aabb_ref,    # SMEM [C,8] f32: minx,miny,minz,maxx,maxy,maxz,pad,pad
     order_ref,   # SMEM [8,C] i32: front-to-back cluster order per octant
-    rays_ref,    # VMEM (R,8) f32: ox,oy,oz,dx,dy,dz,pad,pad
-    tris_ref,    # VMEM [C,16,K] f32 rows: v0xyz(0-2), e1xyz(3-5), e2xyz(6-8)
+    rays_ref,    # VMEM (8,R) f32 rows: ox,oy,oz,dx,dy,dz,pad,pad
+    tris_ref,    # VMEM [C,K,16] f32 cols: v0xyz(0-2), e1xyz(3-5), e2xyz(6-8)
     t_ref,       # VMEM out (R,1) f32
     prim_ref,    # VMEM out (R,1) i32
+    t_acc,       # VMEM scratch (1,R) f32
+    p_acc,       # VMEM scratch (1,R) i32
     *,
     num_clusters: int,
     cluster_k: int,
     t_min: float,
     t_max: float,
 ):
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    dx = rays_ref[:, 3:4]
-    dy = rays_ref[:, 4:5]
-    dz = rays_ref[:, 5:6]
+    # Orientation is the whole ballgame on TPU: rays live on the LANE axis
+    # ((1,R) rows), triangles on the SUBLANE axis ((K,1) columns), so every
+    # Möller–Trumbore intermediate is a well-tiled (K,R) array.  The
+    # transposed (R,K) formulation with rays in sublanes measured 3x
+    # slower under Mosaic (broadcasts of (R,1) over lanes).
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
 
     big = jnp.float32(3.4e38)
     ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
     iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
     iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
 
-    t_ref[:] = jnp.full_like(t_ref, t_max)
-    prim_ref[:] = jnp.full_like(prim_ref, _BIG_PRIM)
+    t_acc[:] = jnp.full_like(t_acc, t_max)
+    p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
 
     # Packet octant from lane 0 (input rays are octant-sorted, so packets
     # are near-uniform; a mixed boundary packet only loses ordering
@@ -74,9 +81,9 @@ def _cluster_kernel(
     # the (tnear <= best_t) slab condition cull everything behind the
     # packet's first hits.
     octant = (
-        (rays_ref[0, 3] > 0.0).astype(jnp.int32)
-        + 2 * (rays_ref[0, 4] > 0.0).astype(jnp.int32)
-        + 4 * (rays_ref[0, 5] > 0.0).astype(jnp.int32)
+        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
+        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
+        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
     )
 
     def visit(pos, _):
@@ -103,23 +110,23 @@ def _cluster_kernel(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        best_t = t_ref[:]
+        best_t = t_acc[:]
         overlap = (tnear <= tfar) & (tfar >= t_min) & (tnear <= best_t)
 
         @pl.when(jnp.any(overlap))
         def _():
-            tri = tris_ref[c]                          # (16,K)
-            v0x = tri[0:1, :]
-            v0y = tri[1:2, :]
-            v0z = tri[2:3, :]
-            e1x = tri[3:4, :]
-            e1y = tri[4:5, :]
-            e1z = tri[5:6, :]
-            e2x = tri[6:7, :]
-            e2y = tri[7:8, :]
-            e2z = tri[8:9, :]
+            tri = tris_ref[c]                          # (K,16)
+            v0x = tri[:, 0:1]
+            v0y = tri[:, 1:2]
+            v0z = tri[:, 2:3]
+            e1x = tri[:, 3:4]
+            e1y = tri[:, 4:5]
+            e1z = tri[:, 5:6]
+            e2x = tri[:, 6:7]
+            e2y = tri[:, 7:8]
+            e2z = tri[:, 8:9]
 
-            # Component-unrolled Möller–Trumbore over the (R,K) pair grid.
+            # Component-unrolled Möller–Trumbore over the (K,R) pair grid.
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
@@ -143,21 +150,24 @@ def _cluster_kernel(
                 & (t < t_max)
             )
             tc = jnp.where(ok, t, jnp.float32(jnp.inf))
-            t_blk = jnp.min(tc, axis=1, keepdims=True)          # (R,1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 1)
+            t_blk = jnp.min(tc, axis=0, keepdims=True)          # (1,R)
+            lane = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 0)
             prim_blk = jnp.min(
                 jnp.where(tc == t_blk, c * cluster_k + lane, _BIG_PRIM),
-                axis=1,
+                axis=0,
                 keepdims=True,
             )
-            best = t_ref[:]
+            best = t_acc[:]
             improved = t_blk < best
-            t_ref[:] = jnp.where(improved, t_blk, best)
-            prim_ref[:] = jnp.where(improved, prim_blk, prim_ref[:])
+            t_acc[:] = jnp.where(improved, t_blk, best)
+            p_acc[:] = jnp.where(improved, prim_blk, p_acc[:])
 
         return 0
 
     jax.lax.fori_loop(0, num_clusters, visit, 0)
+    r = t_ref.shape[0]
+    t_ref[:] = t_acc[:].reshape(r, 1)
+    prim_ref[:] = p_acc[:].reshape(r, 1)
 
 
 def octant_orders(aabbs: np.ndarray) -> np.ndarray:
@@ -185,7 +195,7 @@ def octant_orders(aabbs: np.ndarray) -> np.ndarray:
     static_argnames=("rays_per_tile", "t_min", "t_max", "interpret"),
 )
 def intersect_clusters_pallas(
-    tris16: jnp.ndarray,    # [C,16,K] f32 component-row triangle clusters
+    tris16: jnp.ndarray,    # [C,K,16] f32 component-column triangle clusters
     aabbs: jnp.ndarray,     # [C,8] f32 cluster bounds
     order: jnp.ndarray,     # [8,C] i32 per-octant front-to-back order
     origins: jnp.ndarray,   # [N,3]
@@ -201,16 +211,16 @@ def intersect_clusters_pallas(
     (origin cell, direction octant) first — see ClusterAccel.intersect.
     """
     n = origins.shape[0]
-    c, _, k = tris16.shape
+    c, k, _ = tris16.shape
     r = rays_per_tile
     n_pad = -(-n // r) * r
 
-    rays = jnp.zeros((n_pad, 8), jnp.float32)
-    rays = rays.at[:n, 0:3].set(origins)
-    rays = rays.at[:n, 3:6].set(directions)
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[0:3, :n].set(origins.T)
+    rays = rays.at[3:6, :n].set(directions.T)
     # Padding rays point +x from far away: they miss everything.
     if n_pad > n:
-        rays = rays.at[n:, 0].set(3.0e37).at[n:, 3].set(1.0)
+        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
 
     tiles = n_pad // r
     kernel = functools.partial(
@@ -226,9 +236,9 @@ def intersect_clusters_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # aabbs (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # octant orders
-            pl.BlockSpec((r, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (c, 16, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (c, k, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -239,14 +249,18 @@ def intersect_clusters_pallas(
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((1, r), jnp.float32),
+            pltpu.VMEM((1, r), jnp.int32),
+        ],
         interpret=interpret,
     )(aabbs, order, rays, tris16)
     return best_t[:n, 0], best_prim[:n, 0]
 
 
 def pack_cluster_tris(vertices: np.ndarray, cluster_size: int) -> np.ndarray:
-    """[T,3,3] Morton-permuted vertices -> [C,16,K] component-row layout
-    (v0 rows 0-2, e1 rows 3-5, e2 rows 6-8; rest zero => det==0 padding)."""
+    """[T,3,3] Morton-permuted vertices -> [C,K,16] component-column layout
+    (v0 cols 0-2, e1 cols 3-5, e2 cols 6-8; rest zero => det==0 padding)."""
     t = vertices.shape[0]
     k = cluster_size
     c = max(1, -(-t // k))
@@ -255,6 +269,4 @@ def pack_cluster_tris(vertices: np.ndarray, cluster_size: int) -> np.ndarray:
     out[:t, 0:3] = v0
     out[:t, 3:6] = vertices[:, 1, :] - v0
     out[:t, 6:9] = vertices[:, 2, :] - v0
-    return np.ascontiguousarray(
-        out.reshape(c, k, 16).transpose(0, 2, 1)
-    )
+    return np.ascontiguousarray(out.reshape(c, k, 16))
