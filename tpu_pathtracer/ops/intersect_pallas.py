@@ -253,6 +253,11 @@ def intersect_clusters_pallas(
             pltpu.VMEM((1, r), jnp.float32),
             pltpu.VMEM((1, r), jnp.int32),
         ],
+        # Scene clusters + double-buffered blocks + (K,R) temporaries can
+        # exceed the 16MB default scoped-vmem budget at ~100k triangles.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(aabbs, order, rays, tris16)
     return best_t[:n, 0], best_prim[:n, 0]
