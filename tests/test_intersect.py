@@ -89,3 +89,15 @@ def test_sphere_analytic():
     h = intersect_brute(tris, o, d, 1e-3, 1e16)
     assert bool(h.hit[0])
     assert abs(float(h.t[0]) - 4.0) < 5e-3  # mesh slightly inside the sphere
+
+
+def test_occluded_matches_closest_hit():
+    from tpu_pathtracer.ops.intersect import occluded_brute
+
+    rs = np.random.RandomState(5)
+    tris = jnp.asarray(rs.randn(37, 3, 3).astype(np.float32))
+    o = jnp.asarray(rs.randn(128, 3).astype(np.float32) * 3)
+    d = jnp.asarray(rs.randn(128, 3).astype(np.float32))
+    occ = occluded_brute(tris, o, d, 1e-3, 1e16)
+    h = intersect_brute(tris, o, d, 1e-3, 1e16)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(h.hit))

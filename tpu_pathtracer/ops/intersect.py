@@ -193,6 +193,50 @@ def finalize_hit(vertices, origins, directions, best_t, best_prim, t_min, t_max)
 AUTO_BRUTE_MAX_TRIS = 4096
 
 
+def occluded_brute(
+    vertices: jnp.ndarray,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min: float,
+    t_max: float,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Any-hit query: True where the segment [t_min, t_max] is blocked.
+
+    The software `traceOcclusion` (reference optixSphere.cu:134-156 —
+    dead code there, live here for next-event estimation).  Cheaper than
+    closest-hit: no distance/prim tracking, no barycentric finalize."""
+    t_count = vertices.shape[0]
+    block = max(8, min(block, max(t_count, 8)))
+    pad = (-t_count) % block
+    if pad:
+        vertices = jnp.concatenate(
+            [vertices, jnp.zeros((pad, 3, 3), vertices.dtype)], axis=0
+        )
+    tri_blocks = vertices.reshape(-1, block, 3, 3)
+
+    def body(occ, tri_block):
+        _, _, _, valid = _mt_block(origins, directions, tri_block, t_min, t_max)
+        return occ | jnp.any(valid, axis=1), None
+
+    occ0 = jnp.zeros_like(origins[:, 0], dtype=bool)
+    occ, _ = jax.lax.scan(body, occ0, tri_blocks)
+    return occ
+
+
+def occluded_scene(scene, origins, directions, t_min, t_max, cfg) -> jnp.ndarray:
+    """Any-hit dispatch (shadow rays).  Accel structures currently reuse
+    their closest-hit path; the brute any-hit is cheaper for small T."""
+    if cfg.intersector == "brute" or (
+        cfg.intersector == "auto"
+        and (scene.accel is None or scene.num_triangles <= AUTO_BRUTE_MAX_TRIS)
+    ):
+        return occluded_brute(
+            scene.vertices, origins, directions, t_min, t_max, cfg.intersect_block
+        )
+    return intersect_scene(scene, origins, directions, t_min, t_max, cfg).hit
+
+
 def intersect_scene(scene, origins, directions, t_min, t_max, cfg) -> Hit:
     """Dispatch to the configured intersector for this scene."""
     mode = cfg.intersector

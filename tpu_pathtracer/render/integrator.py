@@ -373,10 +373,12 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             scene.env.alias_table, scene.env.height, scene.env.width,
             u1, u2, u3, u4,
         )
+        from tpu_pathtracer.ops.intersect import occluded_scene
+
         cos_l = jnp.maximum(vm.dot(sh["normal"], env_dir), 0.0)
-        occluded = intersect_scene(
+        occluded = occluded_scene(
             scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg
-        ).hit
+        )
         l_env = eval_env(scene.env, env_dir, cfg)
         nee_ok = (
             hit_m
