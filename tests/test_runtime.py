@@ -162,3 +162,20 @@ def test_viewer_resize(scene):
     finally:
         stop.set()
         httpd.shutdown()
+
+
+def test_cli_exr_output_is_linear_hdr(scene, tmp_path):
+    # .exr gets the raw linear accumulation (values can exceed 1), not the
+    # tonemapped u8 image.
+    from tpu_pathtracer.cli import main
+    from tpu_pathtracer.utils.image import load_exr
+
+    out = str(tmp_path / "out.exr")
+    rc = main(
+        ["--file", out, "--dim=16x8", "-s", "1", "--spp", "1",
+         "--max-depth", "2", "--no-dof", "--env", "sunsky"]
+    )
+    assert rc == 0
+    img = load_exr(out)
+    assert img.shape == (8, 16, 3)
+    assert img.max() > 1.5  # sun radiance is 200 pre-tonemap

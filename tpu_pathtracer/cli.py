@@ -219,7 +219,11 @@ def main(argv=None) -> int:
         renderer.save_checkpoint(args.checkpoint)
 
     outfile = args.file or "out.png"
-    save_image(outfile, renderer.image_u8())
+    if outfile.lower().endswith(".exr"):
+        # EXR gets the raw linear HDR accumulation, not the tonemapped u8.
+        save_image(outfile, renderer.image_hdr())
+    else:
+        save_image(outfile, renderer.image_u8())
     plog.info("output", f"wrote {outfile} ({renderer.spp} spp)")
     return 0
 

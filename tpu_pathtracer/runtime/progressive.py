@@ -108,6 +108,10 @@ class ProgressiveRenderer:
         out = to_uint8(post_process(self.accum, self.cfg))
         return np.asarray(out)[::-1]
 
+    def image_hdr(self) -> np.ndarray:
+        """Raw linear HDR accumulation (row 0 = top) for EXR output."""
+        return np.asarray(self.accum)[::-1]
+
     def stats(self) -> dict:
         times = self.frame_times[1:] or self.frame_times  # drop compile
         if not times:
