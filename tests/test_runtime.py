@@ -171,9 +171,12 @@ def test_cli_exr_output_is_linear_hdr(scene, tmp_path):
     from tpu_pathtracer.utils.image import load_exr
 
     out = str(tmp_path / "out.exr")
+    # Camera aimed straight at the sunsky sun (direction 0,2,3) so the
+    # linear radiance 200 is guaranteed to land in the file.
     rc = main(
         ["--file", out, "--dim=16x8", "-s", "1", "--spp", "1",
-         "--max-depth", "2", "--no-dof", "--env", "sunsky"]
+         "--max-depth", "2", "--no-dof", "--env", "sunsky",
+         "--eye", "0,30,0", "--lookat", "0,32,3", "--fov", "10"]
     )
     assert rc == 0
     img = load_exr(out)
