@@ -204,3 +204,21 @@ def test_metallic_material_tints_reflection():
     assert np.all(np.isfinite(img))
     # Metal tints by albedo: red channel response exceeds blue.
     assert centre[0] > centre[2]
+
+
+def test_per_material_ior_honored():
+    # MTL `Ni` threads through the material table (scene.MAT_IOR): a
+    # material with ior=1.8 under cfg.ior=1.5 renders exactly like an
+    # ior-less material under cfg.ior=1.8, and differs from cfg.ior=1.5.
+    # sunsky env: a constant sky would hide refraction-direction changes.
+    cfg15 = tiny_cfg(samples_per_launch=4, max_depth=6, env_mode="sunsky")
+    cfg18 = cfg15.replace(ior=1.8)
+    cam = Camera(eye=(0, 0, 4), lookat=(0, 0, 0))
+    glass = dict(color=(1, 1, 1), roughness=0.0, transparent=True)
+    with_ior = make_single_material_sphere({**glass, "ior": 1.8})
+    plain = make_single_material_sphere(glass)
+    img_mat = render(with_ior, cfg15, camera=cam)
+    img_cfg = render(plain, cfg18, camera=cam)
+    img_15 = render(plain, cfg15, camera=cam)
+    np.testing.assert_array_equal(img_mat, img_cfg)
+    assert np.abs(img_mat - img_15).max() > 1e-4

@@ -182,3 +182,16 @@ def test_cli_exr_output_is_linear_hdr(scene, tmp_path):
     img = load_exr(out)
     assert img.shape == (8, 16, 3)
     assert img.max() > 1.5  # sun radiance is 200 pre-tonemap
+
+
+def test_checkpoint_scene_mismatch_rejected(scene, tmp_path):
+    # Resume must reject a checkpoint rendered from different geometry
+    # even when the config matches (else the blend is silently wrong).
+    ck = str(tmp_path / "ck_scene.npz")
+    a = ProgressiveRenderer(scene, Camera(), cfg_())
+    a.step()
+    a.save_checkpoint(ck)
+    other = single_sphere_scene(stacks=8, slices=16)
+    b = ProgressiveRenderer(other, Camera(), cfg_())
+    with pytest.raises(ValueError, match="scene mismatch"):
+        b.load_checkpoint(ck)

@@ -11,7 +11,8 @@
 // the numpy oracle).
 //
 // Build: g++ -O3 -march=native -shared -fPIC objparser.cpp -o libobjparser.so
-// (driven by tpu_pathtracer/assets/native/build.py, loaded via ctypes).
+// (built on demand by tpu_pathtracer/assets/native/__init__.py::_build,
+// loaded via ctypes).
 
 #include <cctype>
 #include <cmath>

@@ -242,7 +242,9 @@ def _shade(sc: OracleScene, cfg, prim, t_hit, beta, gamma, o, d, seed, depth):
     rough = F(prop(1, np.full(3, ma[S.MAT_ROUGHNESS], F))[0])
     metal = F(prop(3, np.full(3, ma[S.MAT_METALLIC], F))[0])
     transparent = ma[S.MAT_TRANSPARENT] > 0.5
-    ior = F(cfg.ior)
+    # Per-material IOR (MTL Ni) where specified; cfg.ior otherwise —
+    # mirrors integrator._shade.
+    ior = F(ma[S.MAT_IOR]) if ma[S.MAT_IOR] > 0.0 else F(cfg.ior)
 
     emissive = float(np.sqrt(emission @ emission)) > 0.0001
 

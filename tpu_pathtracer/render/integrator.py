@@ -216,7 +216,10 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
     roughness = prop(1, jnp.broadcast_to(ma[:, S.MAT_ROUGHNESS, None], (mat.shape[0], 3)))[:, 0]
     metallicity = prop(3, jnp.broadcast_to(ma[:, S.MAT_METALLIC, None], (mat.shape[0], 3)))[:, 0]
     transparency = ma[:, S.MAT_TRANSPARENT]
-    ior = cfg.ior
+    # Per-material IOR (MTL Ni) where specified; cfg.ior (reference's
+    # hard-coded 1.5, cu:717) otherwise.
+    mat_ior = ma[:, S.MAT_IOR]
+    ior = jnp.where(mat_ior > 0.0, mat_ior, jnp.float32(cfg.ior))
 
     # Emissive hit terminates the path (cu:725-731).
     emissive = vm.length(emission_color) > 0.0001
@@ -241,8 +244,8 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
     )
 
     # ---- specular BRDF (cu:759-768) -----------------------------------
-    f0_scalar = ((1.0 - ior) / (1.0 + ior)) ** 2
-    f0 = jnp.full_like(diffuse_albedo, f0_scalar)
+    f0_scalar = ((1.0 - ior) / (1.0 + ior)) ** 2          # [N]
+    f0 = jnp.broadcast_to(f0_scalar[:, None], diffuse_albedo.shape)
     f0 = vm.lerp(f0, specular_albedo, metallicity[:, None])
     ndotv_raw = vm.dot(normal, -ray_dir)
     f_vec = bsdf.fresnel_schlick(jnp.maximum(ndotv_raw, 0.0), f0)
@@ -283,7 +286,7 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
     inside = cos_theta_i < 0.0
     cos_i = jnp.abs(cos_theta_i)
     n_glass = jnp.where(inside[:, None], -normal, normal)
-    eta_passed = jnp.where(inside, 1.0 / ior, jnp.full_like(cos_i, ior))
+    eta_passed = jnp.where(inside, 1.0 / ior, ior)
     reflectance = bsdf.fresnel_schlick_scalar(cos_i, ior)     # always `ior`
     seeds, u_reflect = rng.uniform(seeds)
     # Reflection reuses the earlier GGX half-vector (same r1/r2/alpha/onb,

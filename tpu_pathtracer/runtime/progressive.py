@@ -126,12 +126,33 @@ class ProgressiveRenderer:
         }
 
     # -- checkpoint / resume (SURVEY.md §5) --------------------------------
+    def _scene_fingerprint(self) -> str:
+        """Content hash of the scene's geometry/materials/lighting so a
+        resume against a *different* scene (same config) is rejected
+        instead of silently blending two renders.  Computed lazily — the
+        first device->host readback on a tunneled TPU is expensive, and
+        checkpointing already pays one for the accum buffer."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for arr in (
+            self.scene.vertices,
+            self.scene.mat_ids,
+            self.scene.materials.attrs,
+            self.scene.env.data,
+        ):
+            a = np.asarray(arr)
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+        return h.hexdigest()
+
     def save_checkpoint(self, path: str) -> None:
         meta = {
             "subframe": self.subframe,
             "camera": dataclasses.asdict(self.camera),
             "config": dataclasses.asdict(self.cfg),
-            "version": 1,
+            "scene": self._scene_fingerprint(),
+            "version": 2,
         }
         np.savez_compressed(
             path,
@@ -154,6 +175,13 @@ class ProgressiveRenderer:
                 if meta["config"].get(k) != cfg_d[k]
             }
             raise ValueError(f"checkpoint config mismatch: {diff}")
+        ckpt_scene = meta.get("scene")
+        if ckpt_scene is not None and ckpt_scene != self._scene_fingerprint():
+            raise ValueError(
+                "checkpoint scene mismatch: the checkpoint was rendered "
+                "from different geometry/materials/lighting than the "
+                "current scene"
+            )
         self.accum = jnp.asarray(data["accum"])
         self.subframe = int(meta["subframe"])
         cam_meta = meta["camera"]

@@ -206,6 +206,8 @@ def load_scene(
                             ),
                             metallic=(m.metallic or 0.0) > 0.5,
                             transparent=m.dissolve < 0.99 or m.illum in (4, 6, 7, 9),
+                            # MTL `Ni` (> 1 = specified); 0 defers to cfg.ior.
+                            ior=m.ior if m.ior > 1.0 else 0.0,
                             maps=maps,
                         )
                     )

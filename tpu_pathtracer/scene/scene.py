@@ -52,6 +52,9 @@ MAT_MAP_HEIGHT = slice(24, 28)
 MAT_BUNDLE_OFFSET = 28
 MAT_BUNDLE_WIDTH = 29
 MAT_BUNDLE_HEIGHT = 30
+# Per-material index of refraction (MTL `Ni`). 0 = unspecified: shading
+# falls back to cfg.ior (the reference hard-codes 1.5, optixSphere.cu:717).
+MAT_IOR = 31
 
 # Column layout of Scene.tri_attrs ([T,32]).
 TRI_V = slice(0, 9)       # v0 v1 v2 xyz
@@ -233,6 +236,7 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
         attrs[i, MAT_ROUGHNESS] = np.float32(mat.get("roughness", 0.5))
         attrs[i, MAT_METALLIC] = 1.0 if mat.get("metallic", False) else 0.0
         attrs[i, MAT_TRANSPARENT] = 1.0 if mat.get("transparent", False) else 0.0
+        attrs[i, MAT_IOR] = np.float32(mat.get("ior", 0.0))
         for k, kind in enumerate(kinds):
             desc = mat.get("maps", {}).get(kind)
             if desc is not None:
