@@ -24,12 +24,12 @@ def clustered():
 
 def run_kernel(scene, o, d, r=128):
     acc = scene.accel
-    bt, bp = intersect_clusters_pallas(
+    bt, bp, buv = intersect_clusters_pallas(
         acc.tris16, acc.aabb8, acc.order, o, d, 0.01, 1e16,
         rays_per_tile=r, interpret=True,
     )
     prim = np.where(np.asarray(bp) == 0x7FFFFFFF, -1, np.asarray(bp))
-    return np.asarray(bt), prim
+    return np.asarray(bt), prim, np.asarray(buv)
 
 
 def test_kernel_matches_brute(clustered):
@@ -37,11 +37,15 @@ def test_kernel_matches_brute(clustered):
     n = 256
     o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
     d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
-    bt, prim = run_kernel(clustered, o, d)
+    bt, prim, buv = run_kernel(clustered, o, d)
     hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
     np.testing.assert_array_equal(prim, np.asarray(hb.prim))
     hit = prim >= 0
     np.testing.assert_allclose(bt[hit], np.asarray(hb.t)[hit], rtol=1e-5)
+    # Kernel-carried winner barycentrics match the finalize recompute.
+    np.testing.assert_allclose(
+        buv[hit], np.asarray(hb.bary)[hit], rtol=1e-4, atol=1e-6
+    )
     assert hit.sum() > 50
 
 
@@ -51,7 +55,7 @@ def test_kernel_ray_padding(clustered):
     n = 100
     o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
     d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
-    bt, prim = run_kernel(clustered, o, d, r=64)
+    bt, prim, _ = run_kernel(clustered, o, d, r=64)
     hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
     np.testing.assert_array_equal(prim, np.asarray(hb.prim))
 

@@ -1,0 +1,205 @@
+"""Differential in-loop stage profiler (the only trustworthy method here).
+
+Measurement rules learned the hard way on the tunneled v5e:
+* every top-level dispatch carries ~30 ms of fixed overhead -> measure the
+  *marginal* cost of one iteration inside a jitted fori_loop (K vs 2K);
+* the runtime memoizes identical executions -> salt every timed call;
+* loop feedback must change values *meaningfully* (above f32 ulp) or
+  entire stages can vanish from the timeline.
+
+Usage: python tools/profile_inloop.py [--lanes N] [--scene suitcase|monkey|highpoly]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=262144)
+    ap.add_argument("--scene", default="suitcase")
+    ap.add_argument("--k", type=int, default=6)
+    args = ap.parse_args()
+
+    from tpu_pathtracer.utils.logging import enable_compile_cache
+
+    enable_compile_cache()
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.ops.gather import gather_rows
+    from tpu_pathtracer.ops.intersect import intersect_scene
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.envmap import eval_env
+    from tpu_pathtracer.render.integrator import (
+        _shade,
+        _trace_bounce,
+        camera_arrays,
+        generate_camera_rays,
+    )
+    from tpu_pathtracer.render.texsample import sample_bundle
+    from tpu_pathtracer.scene import scene as S
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils import rng
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    env = make_env(procedural_hdr(256, 512))
+    ref = "/root/reference"
+    camera = Camera(eye=(0.0, 2.0, 6.0), lookat=(0.0, 0.5, 0.0))
+    if args.scene == "suitcase":
+        from tpu_pathtracer.scene.builder import load_scene
+
+        scene = load_scene(
+            [f"{ref}/suitcase.obj", f"{ref}/test.obj"],
+            scale=0.05, env=env, rng_seed=0, accel="cluster",
+        )
+    elif args.scene == "monkey":
+        from tpu_pathtracer.scene.builder import load_scene
+
+        scene = load_scene(
+            [f"{ref}/monkey.obj"], scale=1.0, env=env, rng_seed=0,
+            accel="cluster",
+        )
+        camera = Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0))
+    else:
+        from tpu_pathtracer.accel.build import build_accel
+        from tpu_pathtracer.scene.procedural import high_poly_scene
+
+        scene = build_accel(
+            high_poly_scene(total_tris=100_000).replace(env=env), kind="cluster"
+        )
+        camera = Camera(eye=(0, 3, 10), lookat=(0, 1, 0))
+
+    n = args.lanes
+    cfgK = RenderConfig(
+        width=1920, height=1080, samples_per_launch=10, max_depth=8,
+        dof=False, env_mode="equirect", intersector="cluster",
+    )
+    cfgB = cfgK.replace(intersector="brute")
+    cam = camera_arrays(camera.with_aspect(cfgK.width, cfgK.height), cfgK)
+    print(f"scene={args.scene} tris={scene.num_triangles} lanes={n}")
+
+    pix = jnp.arange(n, dtype=jnp.int32) % (cfgK.width * cfgK.height)
+    seeds0 = rng.make_seeds(pix, jnp.zeros_like(pix), jnp.int32(0))
+    o0, d0, seeds0 = generate_camera_rays(
+        cam, pix % cfgK.width, pix // cfgK.width, seeds0, cfgK
+    )
+    o0 = jax.block_until_ready(o0)
+    depth8 = jnp.full_like(pix, 8)
+
+    salt = [0]
+    K = args.k
+
+    def measure(name, body):
+        """body(scene, o, d, seeds) -> (o', d', seeds') with MEANINGFUL
+        feedback (o' must differ from o by > ulp)."""
+
+        def loop(sc, o, d, s, saltv, iters):
+            def step(i, st):
+                o_, d_, s_ = st
+                return body(sc, o_, d_, s_)
+            return jax.lax.fori_loop(
+                0, iters, step, (o + saltv, d, s)
+            )[0].sum()
+
+        jl = jax.jit(loop)
+
+        def run(iters):
+            salt[0] += 1
+            sv = jnp.float32(salt[0] * 1e-3)
+            t0 = time.perf_counter()
+            jax.block_until_ready(jl(scene, o0, d0, seeds0, sv, iters))
+            return time.perf_counter() - t0
+
+        run(K); run(2 * K)  # compile both shapes
+        tK = min(run(K) for _ in range(3))
+        t2K = min(run(2 * K) for _ in range(3))
+        m = (t2K - tK) / K
+        print(f"{name:26s}: {m*1e3:7.2f} ms/iter ({n/max(m,1e-9)/1e6:7.1f} M/s)"
+              f"  [abs {tK*1e3:6.1f}/{t2K*1e3:6.1f}]")
+        return m
+
+    def clipt(hit):
+        return 0.001 * jnp.minimum(hit.t, 10.0)
+
+    # ---- intersect alone ------------------------------------------------
+    def intersect_only(cfg):
+        def body(sc, o, d, s):
+            hit = intersect_scene(sc, o, d, 0.01, 1e16, cfg)
+            return (o + clipt(hit)[:, None] * d, d, s)
+        return body
+
+    measure("intersect kernel", intersect_only(cfgK))
+    measure("intersect brute", intersect_only(cfgB))
+
+    # ---- + attribute lookups -------------------------------------------
+    def k_attrs(sc, o, d, s):
+        hit = intersect_scene(sc, o, d, 0.01, 1e16, cfgK)
+        prim = jnp.maximum(hit.prim, 0)
+        ta = gather_rows(sc.tri_attrs, prim)
+        ma = gather_rows(sc.materials.attrs, ta[:, S.TRI_MAT].astype(jnp.int32))
+        return (o + clipt(hit)[:, None] * d + 1e-5 * (ta[:, 0:3] + ma[:, 0:3]),
+                d, s)
+
+    measure("kernel+attrs", k_attrs)
+
+    # ---- + texture bundle ------------------------------------------------
+    def k_tex(sc, o, d, s):
+        hit = intersect_scene(sc, o, d, 0.01, 1e16, cfgK)
+        prim = jnp.maximum(hit.prim, 0)
+        ta = gather_rows(sc.tri_attrs, prim)
+        ma = gather_rows(sc.materials.attrs, ta[:, S.TRI_MAT].astype(jnp.int32))
+        bs = sample_bundle(
+            sc.materials.texture_bundles,
+            ma[:, S.MAT_BUNDLE_OFFSET].astype(jnp.int32),
+            ma[:, S.MAT_BUNDLE_WIDTH].astype(jnp.int32),
+            ma[:, S.MAT_BUNDLE_HEIGHT].astype(jnp.int32),
+            hit.bary[:, 0], hit.bary[:, 1],
+        )
+        return (o + clipt(hit)[:, None] * d + 1e-5 * bs[0], d, s)
+
+    measure("kernel+attrs+bundle", k_tex)
+
+    # ---- + env ------------------------------------------------------------
+    def k_env(sc, o, d, s):
+        hit = intersect_scene(sc, o, d, 0.01, 1e16, cfgK)
+        e = eval_env(sc.env, d, cfgK)
+        return (o + clipt(hit)[:, None] * d + 1e-5 * e, d, s)
+
+    measure("kernel+env", k_env)
+
+    # ---- full shade --------------------------------------------------------
+    def k_shade(cfg):
+        def body(sc, o, d, s):
+            hit = intersect_scene(sc, o, d, 0.01, 1e16, cfg)
+            sh = _shade(sc, cfg, hit, o, d, s, depth8)
+            return (jnp.where(hit.hit[:, None], sh["new_origin"], o + 0.001 * d),
+                    jnp.where(hit.hit[:, None], sh["new_direction"], d),
+                    sh["seeds"])
+        return body
+
+    measure("kernel+full shade", k_shade(cfgK))
+    measure("brute+full shade", k_shade(cfgB))
+
+    # ---- full bounce (the real body) ----------------------------------------
+    att = jnp.ones_like(o0)
+    rad = jnp.zeros_like(o0)
+    spec = jnp.ones_like(pix, dtype=bool)
+
+    def k_bounce(cfg):
+        def body(sc, o, d, s):
+            tb = _trace_bounce(sc, cfg, o, d, att, rad, s, depth8, spec)
+            return (tb["origin"] + 1e-5 * tb["radiance"],
+                    tb["direction"], tb["seeds"])
+        return body
+
+    measure("full bounce kernel", k_bounce(cfgK))
+    measure("full bounce brute", k_bounce(cfgB))
+
+
+if __name__ == "__main__":
+    main()

@@ -186,11 +186,30 @@ def finalize_hit(vertices, origins, directions, best_t, best_prim, t_min, t_max)
     )
 
 
-# Below this triangle count the fused brute scan beats accel structures on
-# TPU: the per-cluster lax.cond costs more than the tests it could skip
-# (measured on v5e: suitcase @2218 tris, brute 4.3 vs cluster 3.7 Mrays/s
-# end-to-end with incoherent streamed lanes).
+# Below this triangle count the fused brute scan beats the *XLA* cluster
+# scan (batch-level lax.cond culls nothing with incoherent lanes).  The
+# Pallas packet kernel has per-tile culling and beats brute well below
+# this (suitcase @2218 tris: 9.6 vs 18.7 ms per 256k-lane bounce on v5e),
+# so on TPU `auto` prefers the kernel whenever the scene has an accel.
 AUTO_BRUTE_MAX_TRIS = 4096
+
+
+def _auto_prefers_accel(scene, cfg) -> bool:
+    """auto-mode dispatch: use the accel when it can actually win."""
+    if scene.accel is None:
+        return False
+    if scene.num_triangles > AUTO_BRUTE_MAX_TRIS:
+        return True
+    # Small scene: only the Pallas packet kernel beats brute; the XLA
+    # cluster scan does not.  Mirror ClusterAccel.intersect's kernel gate.
+    import jax
+
+    return (
+        cfg.use_pallas
+        and jax.default_backend() == "tpu"
+        and getattr(scene.accel, "tris16", None) is not None
+        and scene.accel.tris16.size * 4 <= 6 * 1024 * 1024
+    )
 
 
 def occluded_brute(
@@ -228,8 +247,7 @@ def occluded_scene(scene, origins, directions, t_min, t_max, cfg) -> jnp.ndarray
     """Any-hit dispatch (shadow rays).  Accel structures currently reuse
     their closest-hit path; the brute any-hit is cheaper for small T."""
     if cfg.intersector == "brute" or (
-        cfg.intersector == "auto"
-        and (scene.accel is None or scene.num_triangles <= AUTO_BRUTE_MAX_TRIS)
+        cfg.intersector == "auto" and not _auto_prefers_accel(scene, cfg)
     ):
         return occluded_brute(
             scene.vertices, origins, directions, t_min, t_max, cfg.intersect_block
@@ -242,7 +260,7 @@ def intersect_scene(scene, origins, directions, t_min, t_max, cfg) -> Hit:
     mode = cfg.intersector
     accel = scene.accel
     if mode == "auto":
-        if accel is None or scene.num_triangles <= AUTO_BRUTE_MAX_TRIS:
+        if not _auto_prefers_accel(scene, cfg):
             mode = "brute"
     if mode == "brute":
         return intersect_brute(

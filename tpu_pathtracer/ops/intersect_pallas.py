@@ -45,10 +45,13 @@ def _cluster_kernel(
     order_ref,   # SMEM [8,C] i32: front-to-back cluster order per octant
     rays_ref,    # VMEM (8,R) f32 rows: ox,oy,oz,dx,dy,dz,pad,pad
     tris_ref,    # VMEM [C,K,16] f32 cols: v0xyz(0-2), e1xyz(3-5), e2xyz(6-8)
-    t_ref,       # VMEM out (R,1) f32
-    prim_ref,    # VMEM out (R,1) i32
+    t_ref,       # VMEM out (1,R) f32 — lane-major, matches the scratch
+    prim_ref,    # VMEM out (1,R) i32
+    uv_ref,      # VMEM out (2,R) f32: winner's barycentrics (beta, gamma)
     t_acc,       # VMEM scratch (1,R) f32
     p_acc,       # VMEM scratch (1,R) i32
+    u_acc,       # VMEM scratch (1,R) f32
+    v_acc,       # VMEM scratch (1,R) f32
     *,
     num_clusters: int,
     cluster_k: int,
@@ -74,6 +77,8 @@ def _cluster_kernel(
 
     t_acc[:] = jnp.full_like(t_acc, t_max)
     p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
+    u_acc[:] = jnp.zeros_like(u_acc)
+    v_acc[:] = jnp.zeros_like(v_acc)
 
     # Packet octant from lane 0 (input rays are octant-sorted, so packets
     # are near-uniform; a mixed boundary packet only loses ordering
@@ -151,23 +156,39 @@ def _cluster_kernel(
             )
             tc = jnp.where(ok, t, jnp.float32(jnp.inf))
             t_blk = jnp.min(tc, axis=0, keepdims=True)          # (1,R)
-            lane = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 0)
-            prim_blk = jnp.min(
-                jnp.where(tc == t_blk, c * cluster_k + lane, _BIG_PRIM),
-                axis=0,
-                keepdims=True,
+            gid = c * cluster_k + jax.lax.broadcasted_iota(
+                jnp.int32, tc.shape, 0
             )
+            prim_blk = jnp.min(
+                jnp.where(tc == t_blk, gid, _BIG_PRIM), axis=0, keepdims=True
+            )
+            # Winner's barycentrics, selected off the SAME lane as prim_blk
+            # (ties resolved identically), so no host-side finalize gather
+            # is needed — vertices[prim] per-lane gathers measured ~20 ns
+            # each, ~5 ms per 256k-lane bounce.
+            win = gid == prim_blk
+            u_blk = jnp.min(jnp.where(win, u, jnp.float32(jnp.inf)),
+                            axis=0, keepdims=True)
+            v_blk = jnp.min(jnp.where(win, v, jnp.float32(jnp.inf)),
+                            axis=0, keepdims=True)
             best = t_acc[:]
             improved = t_blk < best
             t_acc[:] = jnp.where(improved, t_blk, best)
             p_acc[:] = jnp.where(improved, prim_blk, p_acc[:])
+            u_acc[:] = jnp.where(improved, u_blk, u_acc[:])
+            v_acc[:] = jnp.where(improved, v_blk, v_acc[:])
 
         return 0
 
     jax.lax.fori_loop(0, num_clusters, visit, 0)
-    r = t_ref.shape[0]
-    t_ref[:] = t_acc[:].reshape(r, 1)
-    prim_ref[:] = p_acc[:].reshape(r, 1)
+    # Lane-major stores: no (1,R)->(R,1) transpose per grid step, and the
+    # caller reads back flat [N] vectors in their natural vector layout
+    # (the transposed output measured ~3x slower *downstream*: every
+    # consumer re-laid-out the sublane-major result).
+    t_ref[:] = t_acc[:]
+    prim_ref[:] = p_acc[:]
+    uv_ref[0:1, :] = u_acc[:]
+    uv_ref[1:2, :] = v_acc[:]
 
 
 def octant_orders(aabbs: np.ndarray) -> np.ndarray:
@@ -205,10 +226,14 @@ def intersect_clusters_pallas(
     rays_per_tile: int = 512,
     interpret: bool = False,
 ):
-    """Returns (best_t [N], best_prim [N] — 0x7FFFFFFF where miss).
+    """Returns (best_t [N], best_prim [N] — 0x7FFFFFFF where miss,
+    bary [N,2] — the winner's (beta, gamma)).
 
-    For the front-to-back culling to bite, sort the rays by
-    (origin cell, direction octant) first — see ClusterAccel.intersect.
+    Rays are consumed in caller order.  Pixel/queue order is already
+    packet-coherent (neighbouring lanes shade neighbouring pixels); an
+    explicit (origin cell, octant) sort was measured at ~8 ms per 256k
+    bounce on v5e — more than the culling it buys back at these scene
+    sizes, so the integrator does not sort.
     """
     n = origins.shape[0]
     c, k, _ = tris16.shape
@@ -230,7 +255,7 @@ def intersect_clusters_pallas(
         t_min=t_min,
         t_max=t_max,
     )
-    best_t, best_prim = pl.pallas_call(
+    best_t, best_prim, best_uv = pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=[
@@ -242,25 +267,34 @@ def intersect_clusters_pallas(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, r), jnp.float32),
             pltpu.VMEM((1, r), jnp.int32),
+            pltpu.VMEM((1, r), jnp.float32),
+            pltpu.VMEM((1, r), jnp.float32),
         ],
         # Scene clusters + double-buffered blocks + (K,R) temporaries can
-        # exceed the 16MB default scoped-vmem budget at ~100k triangles.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+        # exceed the 16MB default scoped-vmem budget at ~50k triangles —
+        # but only raise the budget when actually needed: an oversized
+        # scoped-vmem limit measurably degrades the XLA-compiled rest of
+        # the surrounding loop body (fusions lose VMEM headroom).
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if tris16.size * 4 + 16 * r * (k + 8) > 12 * 1024 * 1024
+            else None
         ),
         interpret=interpret,
     )(aabbs, order, rays, tris16)
-    return best_t[:n, 0], best_prim[:n, 0]
+    return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
 
 
 def pack_cluster_tris(vertices: np.ndarray, cluster_size: int) -> np.ndarray:
