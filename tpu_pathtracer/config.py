@@ -63,8 +63,11 @@ class RenderConfig:
     regenerate: bool = True
     # Lane-pool size for the streaming work-queue renderer (big launches
     # stream all pixels through this many persistent lanes; the straggler
-    # tail is paid once per frame instead of once per tile).
-    stream_lanes: int = 262144
+    # tail is paid once per frame instead of once per tile).  131072
+    # measured fastest on v5e at 1080p (smaller pools amortize the
+    # table-size-bound output scatter over less work; larger pools thrash
+    # the texture-gather locality).
+    stream_lanes: int = 131072
 
     # ---- estimator behaviour -------------------------------------------
     # "reference": clone the reference's quirky estimator exactly:

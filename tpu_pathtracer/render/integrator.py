@@ -168,6 +168,7 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
             ma[:, S.MAT_BUNDLE_HEIGHT].astype(jnp.int32),
             tex_u,
             tex_v,
+            morton=m.bundled_morton,
         )
 
         def prop(kind: int, fallback):
@@ -758,6 +759,16 @@ def render_pixels_stream(
     vary = pix0[0] * 0  # varying zero scalar (i32)
     o0, d0, s0 = make_path(pix0, jnp.zeros_like(pix0))
 
+    # Retired pixels are staged in a tiny per-lane FIFO and flushed to the
+    # output image every FLUSH_EVERY iterations (or when any lane's FIFO
+    # fills): one scatter into the [n_pix+1,3] image costs ~4.5 ms on v5e
+    # *regardless of update count* (table-size-bound), so batching D=2
+    # retires per lane and flushing 1/8th as often recovers ~25% of frame
+    # time at 1080p.  Values are bitwise-identical: each pixel's row
+    # receives exactly one non-zero add either way.
+    FIFO_D = 2
+    FLUSH_EVERY = 8
+
     state = dict(
         slot=slot0,                                   # n_pix = retired lane
         pix=pix0,
@@ -771,6 +782,10 @@ def render_pixels_stream(
         lane_accum=jnp.zeros_like(o0),
         out=jnp.zeros((n_pix + 1, 3), jnp.float32)
         + vary.astype(jnp.float32),                   # +1 row = retired sink
+        pend_slot=jnp.full((lanes, FIFO_D), n_pix, jnp.int32) + vary,
+        pend_rgb=jnp.zeros((lanes, FIFO_D, 3), jnp.float32)
+        + vary.astype(jnp.float32),
+        pend_cnt=jnp.zeros_like(pix0),
         head=jnp.int32(lanes) + vary,
         spec_last=jnp.ones_like(pix0, dtype=bool),
         it=jnp.int32(0),
@@ -805,10 +820,43 @@ def render_pixels_stream(
         sample_i = st["sample_i"] + newly.astype(jnp.int32)
         pixel_done = newly & (sample_i >= spp)
 
-        # -- retire finished pixels (scatter; slots are unique) ----------
-        out_idx = jnp.where(pixel_done, st["slot"], n_pix)
-        out = st["out"].at[out_idx].add(
-            jnp.where(pixel_done[:, None], lane_accum / jnp.float32(spp), 0.0)
+        # -- retire finished pixels into the per-lane FIFO ----------------
+        retire_slot = jnp.where(pixel_done, st["slot"], n_pix)
+        retire_rgb = jnp.where(
+            pixel_done[:, None], lane_accum / jnp.float32(spp), 0.0
+        )
+        pend_slot, pend_rgb = st["pend_slot"], st["pend_rgb"]
+        for fpos in range(FIFO_D):
+            sel = pixel_done & (st["pend_cnt"] == fpos)
+            pend_slot = pend_slot.at[:, fpos].set(
+                jnp.where(sel, retire_slot, pend_slot[:, fpos])
+            )
+            pend_rgb = pend_rgb.at[:, fpos].set(
+                jnp.where(sel[:, None], retire_rgb, pend_rgb[:, fpos])
+            )
+        pend_cnt = st["pend_cnt"] + pixel_done.astype(jnp.int32)
+
+        # -- periodic flush: one batched scatter --------------------------
+        do_flush = (st["it"] % FLUSH_EVERY == FLUSH_EVERY - 1) | jnp.any(
+            pend_cnt >= FIFO_D
+        )
+
+        def flush(args):
+            out, ps, pr = args
+            out = out.at[ps.reshape(-1)].add(pr.reshape(-1, 3))
+            return (
+                out,
+                jnp.full_like(ps, n_pix),
+                jnp.zeros_like(pr),
+                jnp.zeros_like(pend_cnt),
+            )
+
+        def no_flush(args):
+            out, ps, pr = args
+            return (out, ps, pr, pend_cnt)
+
+        out, pend_slot, pend_rgb, pend_cnt = jax.lax.cond(
+            do_flush, flush, no_flush, (st["out"], pend_slot, pend_rgb)
         )
 
         # -- work queue: pull the next pixel via prefix sum (MXU cumsum) --
@@ -844,6 +892,9 @@ def render_pixels_stream(
             sample_i=sample_i,
             lane_accum=lane_accum,
             out=out,
+            pend_slot=pend_slot,
+            pend_rgb=pend_rgb,
+            pend_cnt=pend_cnt,
             head=head,
             spec_last=jnp.where(
                 regen, True,
@@ -853,7 +904,11 @@ def render_pixels_stream(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final["out"][:n_pix]
+    # Final flush: scatter any retires still staged in the FIFOs.
+    out = final["out"].at[final["pend_slot"].reshape(-1)].add(
+        final["pend_rgb"].reshape(-1, 3)
+    )
+    return out[:n_pix]
 
 
 # ---------------------------------------------------------------------------
