@@ -130,3 +130,43 @@ def test_nee_requires_alias_table():
     )
     with pytest.raises(ValueError, match="alias table"):
         render_frame(scene, camera_arrays(Camera(), cfg), cfg, jnp.int32(0))
+
+
+def test_nee_matches_bsdf_sampling_mean():
+    """The NEE estimator must converge to the SAME image as plain BSDF
+    sampling (VERDICT r1: a biased NEE would silently corrupt --nee).
+
+    Diffuse sphere under a sun-heavy env; both estimators accumulate many
+    subframes; means must agree within Monte-Carlo noise."""
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.film import accumulate
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+    from tpu_pathtracer.scene.procedural import single_sphere_scene
+
+    env = envmap.with_importance_sampling(
+        make_env(procedural_hdr(16, 32, seed=7, sun_intensity=40.0))
+    )
+    scene = single_sphere_scene(stacks=8, slices=16).replace(env=env)
+    base = dict(
+        width=16, height=12, samples_per_launch=16, max_depth=4, dof=False,
+        env_mode="equirect", intersector="brute", rr_mode="standard",
+        regenerate=False,
+    )
+    cfg_bsdf = RenderConfig(**base)
+    cfg_nee = RenderConfig(**base, env_importance_sampling=True)
+    cam = camera_arrays(Camera(), cfg_bsdf)
+
+    def mean_image(cfg, frames):
+        acc = jnp.zeros((cfg.height, cfg.width, 3))
+        for k in range(frames):
+            acc = accumulate(acc, render_frame(scene, cam, cfg, jnp.int32(k)), k)
+        return np.asarray(acc)
+
+    img_b = mean_image(cfg_bsdf, 40)
+    img_n = mean_image(cfg_nee, 40)
+    # Mean brightness agreement (global bias gate) ...
+    tot_b, tot_n = img_b.mean(), img_n.mean()
+    assert abs(tot_b - tot_n) / tot_b < 0.03, (tot_b, tot_n)
+    # ... and per-pixel agreement within noise.
+    rel = np.abs(img_b - img_n) / (img_b + 0.05)
+    assert np.median(rel) < 0.08, float(np.median(rel))

@@ -92,3 +92,19 @@ def test_oracle_textured_monkey_equirect():
         cfg_(env_mode="equirect", samples_per_launch=1, max_depth=3),
         Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0)),
     )
+
+
+def test_oracle_nee():
+    # NEE path: alias-table draws, shadow query and the lobe-partitioned
+    # weight must agree lane-for-lane with the integrator.
+    from tpu_pathtracer.render.envmap import with_importance_sampling
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    env = with_importance_sampling(make_env(procedural_hdr(16, 32, seed=5)))
+    scene = three_spheres_scene(stacks=6, slices=12).replace(env=env)
+    cfg = cfg_(
+        env_mode="equirect", env_importance_sampling=True, rr_mode="standard"
+    )
+    frac = compare(scene, cfg, Camera())
+    assert frac >= 0.98

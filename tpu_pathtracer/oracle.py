@@ -15,7 +15,9 @@ therefore gate on the fraction of matching pixels rather than allclose.
 
 Scope: brute-force intersection, constant/sunsky/equirect env, full
 material model (textures, normal maps, GGX+diffuse, glass, emissive),
-reference RR mode, pinhole or thin-lens camera.  No NEE.
+reference and standard RR modes, pinhole or thin-lens camera, and
+next-event estimation (env_importance_sampling) with the same alias-table
+draws, shadow query and lobe-partitioned weight as the integrator.
 """
 
 from __future__ import annotations
@@ -116,11 +118,56 @@ class OracleScene:
             [(w0 & 0xFF), (w0 >> 8) & 0xFF, (w0 >> 16) & 0xFF], -1
         ).astype(F) * F(1.0 / 255.0)                     # [P,3]
         self.env = np.asarray(scene.env.data, F)
+        self.alias = (
+            np.asarray(scene.env.alias_table, F)
+            if scene.env.alias_table is not None
+            else None
+        )
 
         v0 = self.verts[:, 0]
         self.e1 = self.verts[:, 1] - v0
         self.e2 = self.verts[:, 2] - v0
         self.v0 = v0
+
+    def occluded(self, o, d, t_min, t_max) -> bool:
+        """Any-hit query (shadow ray), matching ops/intersect semantics."""
+        p = np.cross(np.broadcast_to(d, self.e2.shape), self.e2)
+        det = np.einsum("tk,tk->t", self.e1, p)
+        with np.errstate(divide="ignore"):
+            inv = np.where(np.abs(det) > 1e-12, 1.0 / det, 0.0).astype(F)
+        tv = (o - self.v0).astype(F)
+        u = np.einsum("tk,tk->t", tv, p) * inv
+        q = np.cross(tv, self.e1)
+        v = np.einsum("k,tk->t", d, q) * inv
+        t = np.einsum("tk,tk->t", self.e2, q) * inv
+        ok = (
+            (np.abs(det) > 1e-12)
+            & (u >= 0) & (v >= 0) & (u + v <= 1)
+            & (t > t_min) & (t < t_max)
+        )
+        return bool(ok.any())
+
+    def sample_env_alias(self, u1, u2, u3, u4):
+        """Scalar mirror of envmap.sample_env_alias (one alias-table row)."""
+        h, w = self.env.shape[:2]
+        n = h * w
+        i = min(int(u1 * n), n - 1)
+        row = self.alias[i]
+        take_self = u2 < row[0]
+        texel = i if take_self else int(row[1])
+        pmass = F(row[2] if take_self else row[3])
+        ty, tx = texel // w, texel % w
+        u = F((tx + u3) / w)
+        v = F((ty + u4) / h)
+        phi = F((u - 0.5) * (2 * np.pi))
+        theta = F((0.5 - v) * np.pi)
+        y = F(np.sin(theta))
+        c = F(np.cos(theta))
+        d = np.array([c * np.cos(phi), y, c * np.sin(phi)], F)
+        # pdf at the sampled elevation (see envmap.sample_env_alias)
+        cos_elev = F(max(float(np.cos((0.5 - v) * np.pi)), 1e-6))
+        pdf = F(pmass * (h * w) / (2.0 * np.pi * np.pi * cos_elev))
+        return d, pdf
 
     def intersect(self, o, d, t_min, t_max):
         """Brute-force closest hit; min-prim tie-break like the JAX path."""
@@ -330,6 +377,9 @@ def _shade(sc: OracleScene, cfg, prim, t_hit, beta, gamma, o, d, seed, depth):
         origin=hit_pos, direction=new_dir, att_factor=att_factor,
         att_ok=att_ok, emission=emission, emissive=emissive and not degenerate,
         done=done, seed=seed,
+        # NEE extras (mirror integrator._shade's return)
+        normal=normal, brdf=brdf, spec_prob=spec_prob, idotn=idotn,
+        degenerate=degenerate, glass=transparent, choose_spec=choose_spec,
     )
 
 
@@ -370,11 +420,16 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
         radiance = np.zeros(3, F)
         depth = cfg.max_depth
         result = np.zeros(3, F)
+        nee = cfg.env_importance_sampling
+        spec_last = True  # primaries count specular (integrator parity)
 
         for _ in range(cfg.max_depth + 2):
             hit = sc.intersect(origin, direction, cfg.t_min, cfg.t_max)
             if hit is None:
-                radiance = radiance + att * sc.eval_env(direction, cfg)
+                # With NEE, env misses are credited only to spec-sampled
+                # segments (the diffuse share is handled by light sampling).
+                if not nee or spec_last:
+                    radiance = radiance + att * sc.eval_env(direction, cfg)
                 done = True
             else:
                 prim, t_hit, bu, bv = hit
@@ -382,6 +437,28 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
                 seed = sh["seed"]
                 if sh["emissive"]:
                     radiance = radiance + att * sh["emission"]
+                if nee:
+                    # Same draw order and estimator as _trace_bounce.
+                    seed, u1 = uniform(seed)
+                    seed, u2 = uniform(seed)
+                    seed, u3 = uniform(seed)
+                    seed, u4 = uniform(seed)
+                    env_dir, env_pdf = sc.sample_env_alias(u1, u2, u3, u4)
+                    cos_l = F(max(float(sh["normal"] @ env_dir), 0.0))
+                    nee_ok = (
+                        not sh["done"]  # depth parity with the base estimator
+                        and not sh["glass"] and not sh["emissive"]
+                        and not sh["degenerate"] and cos_l > 0.0
+                        and not sc.occluded(sh["origin"], env_dir, cfg.t_min, cfg.t_max)
+                    )
+                    if nee_ok:
+                        l_env = sc.eval_env(env_dir, cfg)
+                        weight = F(
+                            (1.0 - sh["spec_prob"]) * sh["idotn"] * cos_l
+                            / (np.pi * max(float(env_pdf), 1e-12))
+                        )
+                        radiance = radiance + att * sh["brdf"] * weight * l_env
+                    spec_last = bool(sh["choose_spec"]) or bool(sh["glass"])
                 if sh["att_ok"]:
                     att = att * sh["att_factor"]
                 done = sh["done"]
@@ -397,7 +474,8 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
                     result = radiance
                 break
             if cfg.rr_mode == "standard":
-                att = att / (p if p > 0 else F(1.0))
+                # survival prob is min(p,1) — see integrator.render_rays
+                att = att / F(min(p if p > 0 else 1.0, 1.0))
             origin = sh["origin"]
             direction = sh["direction"]
             depth -= 1

@@ -161,9 +161,13 @@ def sample_env(env: EnvironmentMap, u1: jnp.ndarray, u2: jnp.ndarray):
 
 
 def build_env_alias(env: EnvironmentMap):
-    """Vose alias table over env texels.  Returns (env, table) where table
-    is [H*W, 4] f32: (accept_prob, alias_index, pdf_self, pdf_alias) —
-    pdfs in solid-angle measure, so a draw needs exactly one row gather."""
+    """Vose alias table over env texels.  Returns a [H*W, 4] f32 table:
+    (accept_prob, alias_index, pmass_self, pmass_alias) — pmass is the
+    texel's *probability mass*; the solid-angle pdf is computed at sample
+    time from the actual jittered elevation (using the texel-centre
+    sin(theta) instead biased the estimator several percent on coarse
+    envs — the sample is uniform within the texel, so the density must be
+    evaluated where the sample lands)."""
     import numpy as np
 
     data = np.asarray(env.data, np.float64)
@@ -173,10 +177,6 @@ def build_env_alias(env: EnvironmentMap):
     weights = lum * np.sin(theta)[:, None] + 1e-12
     p = (weights / weights.sum()).reshape(-1)           # texel probabilities
     n = p.size
-
-    # solid-angle pdf per texel: p_texel * (h*w) / (2 pi^2 sin(theta))
-    sin_t = np.maximum(np.sin(theta), 1e-6)
-    pdf_sa = (p.reshape(h, w) * (h * w) / (2.0 * np.pi * np.pi * sin_t[:, None])).reshape(-1)
 
     # Vose's algorithm
     scaled = p * n
@@ -195,8 +195,8 @@ def build_env_alias(env: EnvironmentMap):
     table = np.zeros((n, 4), np.float32)
     table[:, 0] = prob
     table[:, 1] = alias.astype(np.float32)
-    table[:, 2] = pdf_sa
-    table[:, 3] = pdf_sa[alias]
+    table[:, 2] = p
+    table[:, 3] = p[alias]
     return jnp.asarray(table)
 
 
@@ -210,11 +210,16 @@ def sample_env_alias(table: jnp.ndarray, height: int, width: int, u1, u2, u3, u4
     row = table[i]                                       # [N,4] — the gather
     take_self = u2 < row[..., 0]
     texel = jnp.where(take_self, i, row[..., 1].astype(jnp.int32))
-    pdf = jnp.where(take_self, row[..., 2], row[..., 3])
+    pmass = jnp.where(take_self, row[..., 2], row[..., 3])
     ty = texel // width
     tx = texel % width
     u = (tx.astype(jnp.float32) + u3) / width
     v = (ty.astype(jnp.float32) + u4) / height
+    # Solid-angle pdf at the SAMPLED elevation: the (u,v)->sphere Jacobian
+    # is 2*pi^2*cos(elev) per unit (u,v)^2, and the mass is uniform within
+    # the texel.  (Texel-centre sin(theta) here measurably biased NEE.)
+    cos_elev = jnp.maximum(jnp.cos((0.5 - v) * jnp.pi), 1e-6)
+    pdf = pmass * (height * width) / (2.0 * jnp.pi * jnp.pi * cos_elev)
     return uv_to_direction(u, v), pdf
 
 

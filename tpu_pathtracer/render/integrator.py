@@ -322,6 +322,9 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
         diffuse_albedo=diffuse_albedo,
         glass=glass,
         choose_spec=choose_spec,
+        spec_prob=spec_prob,
+        idotn=idotn,
+        brdf_combined=brdf_combined,
     )
 
 
@@ -386,14 +389,34 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
         l_env = eval_env(scene.env, env_dir, cfg)
         nee_ok = (
             hit_m
+            & ~sh["done"]   # depth-truncated paths collect no env light in
+            #                 the base estimator either (mean parity)
             & ~sh["glass"]
             & ~sh["emissive"]
             & ~sh["degenerate"]
             & (cos_l > 0.0)
             & ~occluded
         )
-        weight = cos_l / (jnp.pi * jnp.maximum(env_pdf_v, 1e-12))
-        contrib = attenuation * sh["diffuse_albedo"] * weight[:, None] * l_env
+        # Lobe-partitioned estimator, consistent with the base integrator.
+        # The base (non-NEE) estimator multiplies EVERY continuation by the
+        # deterministic blend M = brdf_combined and the |n.l_spec| cosine
+        # (IdotN quirk — reference cu:776, 800, 860) while choosing the
+        # continuation direction spec w.p. P_s, cosine otherwise.  Its
+        # direct-env expectation is therefore
+        #   M*IdotN * (P_s*E_spec[L*vis] + (1-P_s)*E_cos[L*vis]).
+        # Here the cosine component is estimated by light sampling instead:
+        #   E_cos[L*vis] ~= L*vis*(cos_l/pi)/pdf_l       (alias-table draw)
+        # and env radiance on misses is then credited only to spec-sampled
+        # segments (`spec_last`) — together reproducing the SAME mean with
+        # lower variance.  tests/test_envmap.py gates the mean-convergence;
+        # oracle.py carries the identical formula.
+        weight = (
+            (1.0 - sh["spec_prob"])
+            * sh["idotn"]
+            * cos_l
+            / (jnp.pi * jnp.maximum(env_pdf_v, 1e-12))
+        )
+        contrib = attenuation * sh["brdf_combined"] * weight[:, None] * l_env
         radiance_hit = radiance_hit + jnp.where(nee_ok[:, None], contrib, 0.0)
         spec_next = sh["choose_spec"] | sh["glass"]
     else:
@@ -459,14 +482,18 @@ def render_rays(
 
         newly = live & rr_done
         p_safe = jnp.where(p > 0.0, p, 1.0)
+        # Survival probability is min(p, 1): when p > 1 the u_rr > p coin
+        # can never fire, so dividing by the unclamped p loses energy
+        # (textbook RR divides by the actual survival probability).
+        p_div = jnp.minimum(p_safe, 1.0)
         if cfg.rr_mode == "reference":
             # path_rgb = radiance; on termination path_rgb /= p (cu:382-387).
             result_terminated = radiance_new / p_safe[:, None]
         else:
-            # standard: unbiased — survivors divide attenuation by p.
+            # standard: unbiased — survivors divide attenuation by min(p,1).
             result_terminated = radiance_new
             att_new = jnp.where(
-                (live & ~rr_done)[:, None], att_new / p_safe[:, None], att_new
+                (live & ~rr_done)[:, None], att_new / p_div[:, None], att_new
             )
 
         result = jnp.where(newly[:, None], result_terminated, st["result"])
@@ -665,12 +692,13 @@ def render_pixels_regen(
         rr_done = tb["done"] | (u_rr > p)
         newly = live & rr_done
         p_safe = jnp.where(p > 0.0, p, 1.0)
+        p_div = jnp.minimum(p_safe, 1.0)  # survival prob is min(p,1)
         if cfg.rr_mode == "reference":
             result = radiance_new / p_safe[:, None]
         else:
             result = radiance_new
             att_new = jnp.where(
-                (live & ~rr_done)[:, None], att_new / p_safe[:, None], att_new
+                (live & ~rr_done)[:, None], att_new / p_div[:, None], att_new
             )
 
         accum = st["accum"] + jnp.where(newly[:, None], result, 0.0)
@@ -718,9 +746,13 @@ def render_pixels_stream(
     sample_offset: jnp.ndarray,
     spp: int,
     lanes: int,
+    return_iters: bool = False,
 ) -> jnp.ndarray:
     """Streaming work-queue renderer: a fixed pool of `lanes` persistent
     lanes consumes the whole pixel list.
+
+    return_iters=True additionally returns the executed iteration count
+    (lane-utilisation diagnostics; see tools/profile_inloop.py).
 
     Path regeneration alone still idles in the straggler tail — once a
     lane's pixel is finished it sits exhausted while the batch's deepest
@@ -806,13 +838,14 @@ def render_pixels_stream(
         rr_done = tb["done"] | (u_rr > p)
         newly = live & rr_done
         p_safe = jnp.where(p > 0.0, p, 1.0)
+        p_div = jnp.minimum(p_safe, 1.0)  # survival prob is min(p,1)
         if cfg.rr_mode == "reference":
             result = tb["radiance"] / p_safe[:, None]
         else:
             result = tb["radiance"]
             tb["attenuation"] = jnp.where(
                 (live & ~rr_done)[:, None],
-                tb["attenuation"] / p_safe[:, None],
+                tb["attenuation"] / p_div[:, None],
                 tb["attenuation"],
             )
 
@@ -908,6 +941,8 @@ def render_pixels_stream(
     out = final["out"].at[final["pend_slot"].reshape(-1)].add(
         final["pend_rgb"].reshape(-1, 3)
     )
+    if return_iters:
+        return out[:n_pix], final["it"]
     return out[:n_pix]
 
 
