@@ -71,3 +71,52 @@ def test_pack_cluster_tris_layout():
     np.testing.assert_allclose(packed[0, 0, 6:9], [0, 1, 0])   # e2
     # padding triangles are all-zero (degenerate, det == 0)
     np.testing.assert_allclose(packed[0, 1:, :], 0.0)
+
+
+def test_occlusion_kernel_matches_brute(clustered):
+    from tpu_pathtracer.ops.intersect import occluded_brute
+    from tpu_pathtracer.ops.intersect_pallas import occluded_clusters_pallas
+
+    rs = np.random.RandomState(2)
+    n = 300
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    occ_k = np.asarray(occluded_clusters_pallas(
+        acc.tris16, acc.aabb8, acc.order, o, d, 0.01, 1e16,
+        rays_per_tile=64, interpret=True,
+    ))
+    occ_b = np.asarray(occluded_brute(clustered.vertices, o, d, 0.01, 1e16))
+    np.testing.assert_array_equal(occ_k, occ_b)
+    assert occ_b.any() and not occ_b.all()
+
+
+def test_occlusion_xla_matches_brute(clustered):
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.ops.intersect import occluded_brute
+
+    rs = np.random.RandomState(3)
+    n = 300
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    occ_x = np.asarray(clustered.accel._occluded_xla(
+        clustered.vertices, o, d, 0.01, 1e16
+    ))
+    occ_b = np.asarray(occluded_brute(clustered.vertices, o, d, 0.01, 1e16))
+    np.testing.assert_array_equal(occ_x, occ_b)
+
+
+def test_occlusion_segment_tmax(clustered):
+    # A finite t_max must pass segments that END before the geometry.
+    from tpu_pathtracer.ops.intersect import occluded_brute
+    from tpu_pathtracer.ops.intersect_pallas import occluded_clusters_pallas
+
+    o = jnp.asarray([[0.0, 0.5, 8.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    acc = clustered.accel
+    far = occluded_clusters_pallas(acc.tris16, acc.aabb8, acc.order, o, d,
+                                   0.01, 1e16, rays_per_tile=64, interpret=True)
+    near = occluded_clusters_pallas(acc.tris16, acc.aabb8, acc.order, o, d,
+                                    0.01, 1.0, rays_per_tile=64, interpret=True)
+    assert bool(far[0]) == bool(occluded_brute(clustered.vertices, o, d, 0.01, 1e16)[0])
+    assert not bool(near[0])

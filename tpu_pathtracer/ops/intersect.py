@@ -244,13 +244,19 @@ def occluded_brute(
 
 
 def occluded_scene(scene, origins, directions, t_min, t_max, cfg) -> jnp.ndarray:
-    """Any-hit dispatch (shadow rays).  Accel structures currently reuse
-    their closest-hit path; the brute any-hit is cheaper for small T."""
+    """Any-hit dispatch (shadow rays): first accepted hit ends the query —
+    no distance ordering or barycentric finalize (reference
+    `traceOcclusion`, optixSphere.cu:134-156)."""
     if cfg.intersector == "brute" or (
         cfg.intersector == "auto" and not _auto_prefers_accel(scene, cfg)
     ):
         return occluded_brute(
             scene.vertices, origins, directions, t_min, t_max, cfg.intersect_block
+        )
+    accel = scene.accel
+    if accel is not None and hasattr(accel, "occluded"):
+        return accel.occluded(
+            scene.vertices, origins, directions, t_min, t_max, cfg
         )
     return intersect_scene(scene, origins, directions, t_min, t_max, cfg).hit
 

@@ -191,6 +191,184 @@ def _cluster_kernel(
     uv_ref[1:2, :] = v_acc[:]
 
 
+def _occlusion_kernel(
+    aabb_ref,    # SMEM [C,8] f32
+    order_ref,   # SMEM [8,C] i32 (front-to-back per octant — visit order
+    #              matters only for how FAST lanes saturate, not results)
+    rays_ref,    # VMEM (8,R) f32 rows: ox,oy,oz,dx,dy,dz,pad,pad
+    tris_ref,    # VMEM [C,K,16] f32
+    occ_ref,     # VMEM out (1,R) i32: 1 where the segment is blocked
+    occ_acc,     # VMEM scratch (1,R) i32
+    *,
+    num_clusters: int,
+    t_min: float,
+    t_max: float,
+):
+    """Any-hit query (the reference's `traceOcclusion`, optixSphere.cu:
+    134-156 — dead code there, live here for NEE shadow rays).
+
+    Cheaper than closest-hit: no best-t ordering, no prim/barycentric
+    tracking, and the cluster loop EARLY-EXITS once every ray in the
+    packet is occluded (a per-packet scalar `while`, which XLA's batch
+    lax.cond cannot express)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    big = jnp.float32(3.4e38)
+    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+
+    occ_acc[:] = jnp.zeros_like(occ_acc)
+
+    octant = (
+        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
+        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
+        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
+    )
+
+    def cond(state):
+        pos, all_occ = state
+        return (pos < num_clusters) & (all_occ == 0)
+
+    def visit(state):
+        pos, _ = state
+        c = order_ref[octant, pos]
+        bminx = aabb_ref[c, 0]
+        bminy = aabb_ref[c, 1]
+        bminz = aabb_ref[c, 2]
+        bmaxx = aabb_ref[c, 3]
+        bmaxy = aabb_ref[c, 4]
+        bmaxz = aabb_ref[c, 5]
+
+        tx0 = (bminx - ox) * ix
+        tx1 = (bmaxx - ox) * ix
+        ty0 = (bminy - oy) * iy
+        ty1 = (bmaxy - oy) * iy
+        tz0 = (bminz - oz) * iz
+        tz1 = (bmaxz - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        occ = occ_acc[:]
+        overlap = (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & (occ == 0)
+
+        @pl.when(jnp.any(overlap))
+        def _():
+            tri = tris_ref[c]                          # (K,16)
+            v0x = tri[:, 0:1]
+            v0y = tri[:, 1:2]
+            v0z = tri[:, 2:3]
+            e1x = tri[:, 3:4]
+            e1y = tri[:, 4:5]
+            e1z = tri[:, 5:6]
+            e2x = tri[:, 6:7]
+            e2y = tri[:, 7:8]
+            e2z = tri[:, 8:9]
+
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                (jnp.abs(det) > 1e-12)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & (t < t_max)
+            )
+            hit_any = jnp.any(ok, axis=0, keepdims=True)   # (1,R)
+            occ_acc[:] = jnp.maximum(occ_acc[:], hit_any.astype(jnp.int32))
+
+        all_occ = jnp.min(occ_acc[:]).astype(jnp.int32)
+        return (pos + 1, all_occ)
+
+    jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.int32(0)))
+    occ_ref[:] = occ_acc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rays_per_tile", "t_min", "t_max", "interpret"),
+)
+def occluded_clusters_pallas(
+    tris16: jnp.ndarray,    # [C,K,16] f32
+    aabbs: jnp.ndarray,     # [C,8] f32
+    order: jnp.ndarray,     # [8,C] i32
+    origins: jnp.ndarray,   # [N,3]
+    directions: jnp.ndarray,
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    rays_per_tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Any-hit over the cluster accel; returns occluded [N] bool."""
+    n = origins.shape[0]
+    c, k, _ = tris16.shape
+    r = rays_per_tile
+    n_pad = -(-n // r) * r
+
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[0:3, :n].set(origins.T)
+    rays = rays.at[3:6, :n].set(directions.T)
+    if n_pad > n:
+        # Padding rays point +x from far away: they miss everything, which
+        # keeps the early-exit conservative (they never read as occluded).
+        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
+
+    tiles = n_pad // r
+    kernel = functools.partial(
+        _occlusion_kernel,
+        num_clusters=c,
+        t_min=t_min,
+        t_max=t_max,
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (c, k, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, r), jnp.int32)],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if tris16.size * 4 + 16 * r * (k + 8) > 12 * 1024 * 1024
+            else None
+        ),
+        interpret=interpret,
+    )(aabbs, order, rays, tris16)[0]
+    return occ[0, :n] > 0
+
+
 def octant_orders(aabbs: np.ndarray) -> np.ndarray:
     """[8,C] front-to-back cluster visit order per direction octant.
 
