@@ -49,8 +49,8 @@ def main() -> int:
     from tpu_pathtracer.render.camera import Camera
     from tpu_pathtracer.render.integrator import (
         camera_arrays,
-        count_segments,
         render_frame,
+        render_frame_stats,
     )
     from tpu_pathtracer.scene.scene import make_env
     from tpu_pathtracer.utils.image import procedural_hdr
@@ -148,8 +148,12 @@ def main() -> int:
     # Compile + warm up.
     render_frame(scene, cam, cfg, jnp.int32(0)).block_until_ready()
 
-    # Measure traced segments (schedule-independent path-segment count).
-    segs = int(count_segments(scene, cam, cfg, jnp.int32(0)))
+    # Traced-ray accounting from inside the actual render schedule
+    # (render_frame_stats), including NEE shadow rays.
+    _, stats = render_frame_stats(scene, cam, cfg, jnp.int32(0))
+    path_segs = int(stats["segments"])
+    shadow_segs = int(stats["shadow_segments"])
+    segs = path_segs + shadow_segs
 
     t0 = time.perf_counter()
     for k in range(args.frames):
@@ -172,10 +176,12 @@ def main() -> int:
         "vs_baseline": round(mrays / 100.0, 4),
         "detail": {
             "rays_per_launch": rays_per_launch,
+            "path_segments": path_segs,
+            "shadow_segments": shadow_segs,
             "spp_per_sec": round(spp_per_sec, 3),
             "sec_per_launch": round(dt / args.frames, 4),
             "triangles": int(scene.num_triangles),
-            "nee": args.nee,  # shadow rays not counted in rays_per_launch (conservative)
+            "nee": args.nee,
             "frames": args.frames,
         },
     }

@@ -210,3 +210,73 @@ def test_builder_mtl_source(tmp_path):
     s = load_scene([obj], material_source="mtl", add_floor=False)
     np.testing.assert_allclose(np.asarray(s.materials.diffuse_color)[0], [1, 0, 0])
     np.testing.assert_allclose(np.asarray(s.materials.roughness)[0], 0.3)
+
+
+class TestSceneFile:
+    def test_spheres_scene_file_golden(self, tmp_path):
+        # The committed scene file drives a render end-to-end and matches
+        # the directly-constructed equivalent bitwise (SURVEY §5 config
+        # system: the reference's hard-coded block as data).
+        import jax.numpy as jnp
+
+        from tpu_pathtracer.config import RenderConfig
+        from tpu_pathtracer.render.camera import Camera
+        from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+        from tpu_pathtracer.scene.procedural import three_spheres_scene
+        from tpu_pathtracer.scene.scenefile import load_scene_file
+
+        scene, camera, cfg = load_scene_file("scenes/spheres.toml")
+        assert (cfg.width, cfg.height) == (64, 48)
+        assert cfg.env_mode == "sunsky" and not cfg.dof
+        img = np.asarray(
+            render_frame(scene, camera_arrays(camera, cfg), cfg, jnp.int32(0))
+        )
+
+        ref_cfg = RenderConfig(width=64, height=48, samples_per_launch=2,
+                               max_depth=4, dof=False, env_mode="sunsky",
+                               intersector="brute")
+        ref_scene = three_spheres_scene()
+        ref_cam = Camera(eye=(0, 2, 8), lookat=(0, 1, 0))
+        ref = np.asarray(render_frame(
+            ref_scene, camera_arrays(ref_cam, ref_cfg), ref_cfg, jnp.int32(0)
+        ))
+        np.testing.assert_array_equal(img, ref)
+
+    def test_suitcase_scene_file_loads(self):
+        import os
+
+        if not os.path.exists("/root/reference/suitcase.obj"):
+            import pytest
+
+            pytest.skip("reference assets unavailable")
+        from tpu_pathtracer.scene.scenefile import load_scene_file
+
+        scene, camera, cfg = load_scene_file("scenes/suitcase.toml")
+        assert scene.num_triangles > 2000
+        assert scene.accel is not None
+        assert cfg.max_depth == 20 and cfg.dof
+
+    def test_scene_file_overrides_and_validation(self, tmp_path):
+        from tpu_pathtracer.scene.scenefile import load_scene_file
+
+        _, _, cfg = load_scene_file(
+            "scenes/spheres.toml", overrides={"max_depth": 9}
+        )
+        assert cfg.max_depth == 9
+
+        bad = tmp_path / "bad.toml"
+        bad.write_text("[render]\nnot_a_field = 1\n")
+        with pytest.raises(ValueError, match="unknown .render. fields"):
+            load_scene_file(str(bad))
+
+    def test_cli_scene_file(self, tmp_path):
+        from tpu_pathtracer.cli import main
+
+        out = str(tmp_path / "sf.png")
+        rc = main(["--scene-file", "scenes/spheres.toml", "--file", out,
+                   "--spp", "2"])
+        assert rc == 0
+        from PIL import Image
+
+        img = np.asarray(Image.open(out))
+        assert img.shape == (48, 64, 3)

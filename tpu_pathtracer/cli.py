@@ -32,6 +32,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp", type=int, default=0, help="total samples/pixel for offline render (0 = one launch)")
     p.add_argument("--max-depth", type=int, default=20, help="max path depth (reference: 20)")
     p.add_argument("--scene", nargs="*", default=[], help="OBJ files (default: procedural three-spheres scene)")
+    p.add_argument("--scene-file", default="", help="TOML scene description (scenes/*.toml); explicit flags override its [render] table")
     p.add_argument("--scale", type=float, default=1.0, help="uniform scene scale (reference hero scene: 0.05)")
     p.add_argument("--env", default="procedural", help="HDR .exr path | procedural | sunsky | constant")
     p.add_argument("--eye", default="0,2,6", help="camera eye (reference default 0,2,6)")
@@ -78,6 +79,38 @@ def build_from_args(args):
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.render.camera import Camera
     from tpu_pathtracer.render.envmap import build_env_cdf
+
+    if args.scene_file:
+        from tpu_pathtracer.scene.scenefile import load_scene_file
+        from tpu_pathtracer.utils import logging as plog
+
+        # Explicit CLI flags override the file's [render] table.
+        overrides = {}
+        argv = sys.argv[1:]
+        if "--dim" in " ".join(argv):
+            w, h = parse_dim(args.dim)
+            overrides["width"], overrides["height"] = w, h
+        for flag, field, val in (
+            ("--launch-samples", "samples_per_launch", args.launch_samples),
+            ("-s", "samples_per_launch", args.launch_samples),
+            ("--max-depth", "max_depth", args.max_depth),
+            ("--rr-mode", "rr_mode", args.rr_mode),
+            ("--tile-pixels", "tile_pixels", args.tile_pixels),
+        ):
+            if flag in argv:
+                overrides[field] = val
+        if "--nee" in argv:
+            overrides["env_importance_sampling"] = True
+        if "--dof" in argv or "--no-dof" in argv:
+            overrides["dof"] = args.dof
+        scene, camera, cfg = load_scene_file(args.scene_file, overrides)
+        plog.set_verbosity(args.verbosity)
+        plog.info(
+            "scene",
+            f"scene file {args.scene_file}: {scene.num_triangles} triangles, "
+            f"{scene.materials.num_materials} materials",
+        )
+        return scene, camera.with_aspect(cfg.width, cfg.height), cfg
     from tpu_pathtracer.scene.scene import make_env
     from tpu_pathtracer.utils import logging as plog
     from tpu_pathtracer.utils.image import load_exr, procedural_hdr

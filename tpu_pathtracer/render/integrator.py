@@ -434,6 +434,7 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
         done=jnp.where(hit_m, sh["done"], True),  # miss always terminates
         seeds=jnp.where(hit_m, seeds_out, seeds),
         spec_last=spec_next,
+        hit=hit_m,  # for shadow-ray accounting (segment counters)
     )
 
 
@@ -443,8 +444,13 @@ def render_rays(
     origins: jnp.ndarray,     # [N,3]
     directions: jnp.ndarray,  # [N,3]
     seeds: jnp.ndarray,       # [N] u32
-) -> jnp.ndarray:
-    """Trace a batch of primary rays to completion; returns radiance [N,3]."""
+    return_stats: bool = False,
+):
+    """Trace a batch of primary rays to completion; returns radiance [N,3].
+
+    return_stats=True additionally returns {"segments", "shadow_segments"}
+    — the rays actually traced by THIS loop (bench accounting lives inside
+    the render path, never in a duplicated loop)."""
     # State arrays derive from the inputs (*_like) so varying manual axes
     # stay consistent when this runs inside shard_map.
     state = dict(
@@ -458,6 +464,10 @@ def render_rays(
         result=jnp.zeros_like(origins),
         spec_last=jnp.ones_like(seeds, dtype=bool),  # primaries count specular
         bounce=jnp.int32(0),
+        # + seeds[0]*0: ties the counters to per-device data so shard_map
+        # varying-axes tracking sees them as device-varying like the rays.
+        segments=jnp.int32(0) + seeds[0].astype(jnp.int32) * 0,
+        shadow=jnp.int32(0) + seeds[0].astype(jnp.int32) * 0,
     )
 
     max_traces = cfg.max_depth + 2  # depth<=0 forces done; +1 safety
@@ -513,14 +523,26 @@ def render_rays(
             result=result,
             spec_last=jnp.where(advs, tb["spec_last"], st["spec_last"]),
             bounce=st["bounce"] + 1,
+            segments=st["segments"] + jnp.sum(live.astype(jnp.int32)),
+            shadow=st["shadow"]
+            + (
+                jnp.sum((live & tb["hit"]).astype(jnp.int32))
+                if cfg.env_importance_sampling
+                else jnp.int32(0)
+            ),
         )
         return st_new
 
     final = jax.lax.while_loop(cond, body, state)
     # Safety: lanes that somehow never terminated contribute their radiance.
-    return jnp.where(
+    radiance = jnp.where(
         final["terminated"][:, None], final["result"], final["radiance"]
     )
+    if return_stats:
+        return radiance, dict(
+            segments=final["segments"], shadow_segments=final["shadow"]
+        )
+    return radiance
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -530,101 +552,11 @@ def count_segments(
     cfg: RenderConfig,
     subframe: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Count traced ray segments for one launch (for Mrays/s metrics).
-
-    Runs the same bounce loop as render_rays but carries only what is
-    needed to reproduce the termination pattern; returns the total number
-    of (ray, bounce) segments — the "rays" in rays-per-second.
-    """
-    n_pix = cfg.width * cfg.height
-    # Chunk so the wide (pixels x samples) counting schedule stays small,
-    # independent of the render path's tiling.
-    max_lanes = 1 << 20
-    tile = max(1, max_lanes // max(cfg.samples_per_launch, 1))
-    while n_pix % tile:
-        tile -= 1
-    if tile < n_pix:
-        tiles = n_pix // tile
-        ids = jnp.arange(n_pix, dtype=jnp.int32).reshape(tiles, tile)
-
-        def body(total, pix):
-            return total + _count_segments_pixels(scene, cam, cfg, pix, subframe), None
-
-        total, _ = jax.lax.scan(body, jnp.int32(0), ids)
-        return total
-    return _count_segments_pixels(
-        scene, cam, cfg, jnp.arange(n_pix, dtype=jnp.int32), subframe
-    )
-
-
-def _count_segments_pixels(scene, cam, cfg, pixel_ids, subframe):
-    n_pix = pixel_ids.shape[0]
-    spp = cfg.samples_per_launch
-    pixel_rep = jnp.repeat(pixel_ids, spp)
-    sample_rep = jnp.tile(jnp.arange(spp, dtype=jnp.int32), n_pix)
-    seeds = rng.make_seeds(pixel_rep, sample_rep, subframe)
-    px = pixel_rep % cfg.width
-    py = pixel_rep // cfg.width
-    origins, directions, seeds = generate_camera_rays(cam, px, py, seeds, cfg)
-
-    state = dict(
-        origin=origins,
-        direction=directions,
-        attenuation=jnp.ones_like(origins),
-        radiance=jnp.zeros_like(origins),
-        seeds=seeds,
-        depth=jnp.full_like(seeds, cfg.max_depth, dtype=jnp.int32),
-        terminated=jnp.zeros_like(seeds, dtype=bool),
-        result=jnp.zeros_like(origins),
-        bounce=jnp.int32(0),
-        segments=jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0),
-    )
-    max_traces = cfg.max_depth + 2
-
-    def cond(st):
-        return (~jnp.all(st["terminated"])) & (st["bounce"] < max_traces)
-
-    def body(st):
-        segments = st["segments"] + jnp.sum(
-            (~st["terminated"]).astype(st["segments"].dtype)
-        )
-        inner = {k: v for k, v in st.items() if k != "segments"}
-        hit = intersect_scene(
-            scene, st["origin"], st["direction"], cfg.t_min, cfg.t_max, cfg
-        )
-        env_rad = eval_env(scene.env, st["direction"], cfg)
-        sh = _shade(
-            scene, cfg, hit, st["origin"], st["direction"], st["seeds"], st["depth"]
-        )
-        live = ~st["terminated"]
-        hit_m = hit.hit
-        att_new = jnp.where(
-            (hit_m & sh["att_ok"])[:, None],
-            st["attenuation"] * sh["att_factor"],
-            st["attenuation"],
-        )
-        done_new = jnp.where(hit_m, sh["done"], True)
-        seeds_new = jnp.where(hit_m, sh["seeds"], st["seeds"])
-        seeds_new, u_rr = rng.uniform(seeds_new)
-        p = jnp.max(att_new, axis=-1)
-        rr_done = done_new | (u_rr > p)
-        adv = (live & ~rr_done)[:, None]
-        advs = live & ~rr_done
-        return dict(
-            origin=jnp.where(adv, sh["new_origin"], st["origin"]),
-            direction=jnp.where(adv, sh["new_direction"], st["direction"]),
-            attenuation=jnp.where(adv, att_new, st["attenuation"]),
-            radiance=st["radiance"],
-            seeds=jnp.where(live, seeds_new, st["seeds"]),
-            depth=jnp.where(advs, st["depth"] - 1, st["depth"]),
-            terminated=st["terminated"] | (live & rr_done),
-            result=st["result"],
-            bounce=st["bounce"] + 1,
-            segments=segments,
-        )
-
-    final = jax.lax.while_loop(cond, body, state)
-    return final["segments"]
+    """Total traced ray segments for one launch (Mrays/s accounting),
+    INCLUDING NEE shadow rays — counted by the exact schedule that
+    renders (render_frame_stats), not by a duplicated loop."""
+    _, stats = render_frame_stats(scene, cam, cfg, subframe)
+    return stats["segments"] + stats["shadow_segments"]
 
 
 # ---------------------------------------------------------------------------
@@ -639,7 +571,8 @@ def render_pixels_regen(
     subframe: jnp.ndarray,
     sample_offset: jnp.ndarray,
     spp: int,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """One lane per pixel; each lane traces its spp samples *sequentially*,
     respawning a fresh camera ray the moment its current path terminates.
 
@@ -672,6 +605,8 @@ def render_pixels_regen(
         exhausted=jnp.zeros_like(pixel_ids, dtype=bool),
         spec_last=jnp.ones_like(pixel_ids, dtype=bool),
         it=jnp.int32(0),
+        segments=jnp.int32(0) + pixel_ids[0] * 0,   # shard_map-varying
+        shadow=jnp.int32(0) + pixel_ids[0] * 0,
     )
     max_iters = spp * (cfg.max_depth + 2) + 4
 
@@ -731,10 +666,24 @@ def render_pixels_regen(
                 jnp.where(live & ~rr_done, tb["spec_last"], st["spec_last"]),
             ),
             it=st["it"] + 1,
+            segments=st["segments"] + jnp.sum(live.astype(jnp.int32)),
+            shadow=st["shadow"]
+            + (
+                jnp.sum((live & tb["hit"]).astype(jnp.int32))
+                if cfg.env_importance_sampling
+                else jnp.int32(0)
+            ),
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final["accum"] / jnp.float32(spp)
+    out = final["accum"] / jnp.float32(spp)
+    if return_stats:
+        return out, dict(
+            iters=final["it"],
+            segments=final["segments"],
+            shadow_segments=final["shadow"],
+        )
+    return out
 
 
 def render_pixels_stream(
@@ -746,13 +695,14 @@ def render_pixels_stream(
     sample_offset: jnp.ndarray,
     spp: int,
     lanes: int,
-    return_iters: bool = False,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Streaming work-queue renderer: a fixed pool of `lanes` persistent
     lanes consumes the whole pixel list.
 
-    return_iters=True additionally returns the executed iteration count
-    (lane-utilisation diagnostics; see tools/profile_inloop.py).
+    return_stats=True additionally returns {"iters", "segments",
+    "shadow_segments"} — utilisation diagnostics and the exact traced-ray
+    accounting used by bench.py / count_segments.
 
     Path regeneration alone still idles in the straggler tail — once a
     lane's pixel is finished it sits exhausted while the batch's deepest
@@ -821,6 +771,8 @@ def render_pixels_stream(
         head=jnp.int32(lanes) + vary,
         spec_last=jnp.ones_like(pix0, dtype=bool),
         it=jnp.int32(0),
+        segments=jnp.int32(0) + vary,               # shard_map-varying
+        shadow=jnp.int32(0) + vary,
     )
     max_iters = (n_pix * spp * (cfg.max_depth + 2)) // lanes + cfg.max_depth + 16
 
@@ -934,6 +886,13 @@ def render_pixels_stream(
                 jnp.where(live & ~rr_done, tb["spec_last"], st["spec_last"]),
             ),
             it=st["it"] + 1,
+            segments=st["segments"] + jnp.sum(live.astype(jnp.int32)),
+            shadow=st["shadow"]
+            + (
+                jnp.sum((live & tb["hit"]).astype(jnp.int32))
+                if cfg.env_importance_sampling
+                else jnp.int32(0)
+            ),
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -941,8 +900,12 @@ def render_pixels_stream(
     out = final["out"].at[final["pend_slot"].reshape(-1)].add(
         final["pend_rgb"].reshape(-1, 3)
     )
-    if return_iters:
-        return out[:n_pix], final["it"]
+    if return_stats:
+        return out[:n_pix], dict(
+            iters=final["it"],
+            segments=final["segments"],
+            shadow_segments=final["shadow"],
+        )
     return out[:n_pix]
 
 
@@ -958,14 +921,18 @@ def render_pixels(
     subframe: jnp.ndarray,    # scalar i32
     sample_offset: jnp.ndarray | int = 0,  # first global sample index
     spp: int | None = None,   # samples per pixel this launch
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Render one batch of samples for each pixel; returns the
     sample-averaged radiance [Np,3] (the reference's `payload_rgb /
     sample_batch_count`, cu:397-401).
 
     Sample-sharded multi-chip rendering passes each device its own global
     sample_offset slice, so seeds — and therefore radiance values — are
-    identical to an unsharded run (BASELINE.md reproducibility)."""
+    identical to an unsharded run (BASELINE.md reproducibility).
+
+    return_stats=True additionally returns {"segments", "shadow_segments"}
+    counted by whichever schedule runs."""
     if spp is None:
         spp = cfg.samples_per_launch
     sample_offset = jnp.asarray(sample_offset, dtype=jnp.int32)
@@ -977,12 +944,13 @@ def render_pixels(
         if n_pix > cfg.stream_lanes:
             return render_pixels_stream(
                 scene, cam, cfg, pixel_ids, subframe, sample_offset, spp,
-                cfg.stream_lanes,
+                cfg.stream_lanes, return_stats=return_stats,
             )
         if pixel_ids is None:
             pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
         return render_pixels_regen(
-            scene, cam, cfg, pixel_ids, subframe, sample_offset, spp
+            scene, cam, cfg, pixel_ids, subframe, sample_offset, spp,
+            return_stats=return_stats,
         )
     if pixel_ids is None:
         pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
@@ -998,6 +966,11 @@ def render_pixels(
     py = pixel_rep // cfg.width
 
     origins, directions, seeds = generate_camera_rays(cam, px, py, seeds, cfg)
+    if return_stats:
+        radiance, stats = render_rays(
+            scene, cfg, origins, directions, seeds, return_stats=True
+        )
+        return jnp.mean(radiance.reshape(np_, spp, 3), axis=1), stats
     radiance = render_rays(scene, cfg, origins, directions, seeds)
     return jnp.mean(radiance.reshape(np_, spp, 3), axis=1)
 
@@ -1028,6 +1001,48 @@ def render_frame(
         # the per-iteration pixel-id gather.
         img = render_pixels(scene, cam, cfg, None, subframe)
     return img.reshape(cfg.height, cfg.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame_stats(
+    scene: Scene,
+    cam: dict,
+    cfg: RenderConfig,
+    subframe: jnp.ndarray,
+):
+    """render_frame + exact traced-ray accounting: returns
+    (image [H,W,3], {"segments", "shadow_segments"}) counted inside the
+    schedule that actually renders (incl. NEE shadow rays)."""
+    n_pix = cfg.width * cfg.height
+    if cfg.tile_pixels and cfg.tile_pixels < n_pix:
+        tile = cfg.tile_pixels
+        if n_pix % tile != 0:
+            raise ValueError("tile_pixels must divide width*height")
+        tiles = n_pix // tile
+        ids = jnp.arange(n_pix, dtype=jnp.int32).reshape(tiles, tile)
+
+        def body(tot, pix):
+            out, stats = render_pixels(
+                scene, cam, cfg, pix, subframe, return_stats=True
+            )
+            return (
+                tot[0] + stats["segments"],
+                tot[1] + stats["shadow_segments"],
+            ), out
+
+        (segs, shadow), out = jax.lax.scan(
+            body, (jnp.int32(0), jnp.int32(0)), ids
+        )
+        img = out.reshape(n_pix, 3)
+    else:
+        img, stats = render_pixels(
+            scene, cam, cfg, None, subframe, return_stats=True
+        )
+        segs = stats["segments"]
+        shadow = stats["shadow_segments"]
+    return img.reshape(cfg.height, cfg.width, 3), dict(
+        segments=segs, shadow_segments=shadow
+    )
 
 
 def camera_arrays(camera, cfg: RenderConfig) -> dict:
