@@ -30,6 +30,7 @@ def main() -> int:
     ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
     ap.add_argument("--nee", action="store_true", help="env importance sampling (config-3 'GGX + env importance sampling' fidelity)")
+    ap.add_argument("--pixel-order", default="auto", choices=["auto", "scanline", "tiled"])
     ap.add_argument(
         "--config", type=int, default=0, choices=range(6),
         help="BASELINE.json benchmark config preset (1-5); 0 = headline "
@@ -139,6 +140,7 @@ def main() -> int:
         env_importance_sampling=args.nee,
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
+        pixel_order=args.pixel_order,
     )
     if args.accel not in ("brute", "auto") and scene.accel is None:
         scene = build_accel(scene, kind=args.accel)

@@ -224,3 +224,50 @@ def test_segment_counts_schedule_invariant(scene):
         assert int(stats["shadow_segments"]) == 0
         assert int(count_segments(scene, cam, cfg, jnp.int32(0))) == counts[name]
     assert counts["wide"] == counts["regen"] == counts["stream"], counts
+
+
+def test_tiled_pixel_order_bitwise_identical(scene):
+    # 16x8-block pixel hand-out is a pure scheduling change: seeds key off
+    # the pixel id and each pixel's samples accumulate on one lane in
+    # sample order, so the image must be BITWISE identical to scanline.
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+
+    base = dict(width=32, height=16, samples_per_launch=4, max_depth=3,
+                dof=False, env_mode="constant", intersector="brute",
+                stream_lanes=64)  # force the streaming schedule
+    cam = camera_arrays(Camera(), cfg_(**base))
+    imgs = {}
+    for order in ("scanline", "tiled"):
+        cfg = cfg_(**base, pixel_order=order)
+        imgs[order] = np.asarray(
+            render_frame(scene, cam, cfg, jnp.int32(0))
+        )
+    assert np.array_equal(imgs["scanline"], imgs["tiled"])
+
+
+def test_tiled_pixel_order_validation():
+    with pytest.raises(ValueError):
+        RenderConfig(width=30, height=16, pixel_order="tiled")
+    # auto silently falls back to scanline on unaligned dims
+    RenderConfig(width=30, height=17, pixel_order="auto")
+
+
+def test_adaptive_preview(scene):
+    # While the camera moves the viewer shows low-res 1-spp previews;
+    # preview output is display-sized and cleared by the next full step.
+    r = ProgressiveRenderer(
+        scene, Camera(), cfg_(width=64, height=32), preview_scale=4
+    )
+    assert r._preview_cfg.width == 16 and r._preview_cfg.height == 8
+    assert r._preview_cfg.samples_per_launch == 1
+    assert r.step_preview()
+    img = r.image_u8()
+    assert img.shape == (32, 64, 3)   # upscaled to display size
+    r.step()                          # full-res step supersedes preview
+    assert r._preview_img is None
+    assert r.image_u8().shape == (32, 64, 3)
+
+    r2 = ProgressiveRenderer(scene, Camera(), cfg_(), preview_scale=0)
+    assert not r2.step_preview()      # disabled

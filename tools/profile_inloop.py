@@ -83,7 +83,12 @@ def main():
     cam = camera_arrays(camera.with_aspect(cfgK.width, cfgK.height), cfgK)
     print(f"scene={args.scene} tris={scene.num_triangles} lanes={n}")
 
-    pix = jnp.arange(n, dtype=jnp.int32) % (cfgK.width * cfgK.height)
+    # Center the lane window on the frame: the first n pixels of a 1080p
+    # frame are all sky (top scanlines), which makes every packet cull and
+    # "intersect" measure ~0.  The middle of the frame sees the scene.
+    n_pix_total = cfgK.width * cfgK.height
+    start = max(0, (n_pix_total - n) // 2)
+    pix = (start + jnp.arange(n, dtype=jnp.int32)) % n_pix_total
     seeds0 = rng.make_seeds(pix, jnp.zeros_like(pix), jnp.int32(0))
     o0, d0, seeds0 = generate_camera_rays(
         cam, pix % cfgK.width, pix // cfgK.width, seeds0, cfgK

@@ -69,6 +69,14 @@ class RenderConfig:
     # the texture-gather locality).
     stream_lanes: int = 131072
 
+    # Pixel hand-out order for the streaming renderer.  "tiled" assigns
+    # consecutive lanes a 16x8 pixel block (requires width%16==0 and
+    # height%8==0): ray packets get compact frustums (better Pallas AABB
+    # culling) and the latency-bound texture/env gathers hit neighbouring
+    # HBM rows.  "auto" = tiled when dimensions allow.  Output is bitwise
+    # identical either way (seeds key off the pixel id).
+    pixel_order: str = "auto"       # "auto" | "scanline" | "tiled"
+
     # ---- estimator behaviour -------------------------------------------
     # "reference": clone the reference's quirky estimator exactly:
     #   path_rgb = payload.radiance; on termination path_rgb /= p
@@ -120,3 +128,11 @@ class RenderConfig:
             raise ValueError(f"invalid env_mode: {self.env_mode!r}")
         if self.intersector not in ("auto", "brute", "cluster", "bvh"):
             raise ValueError(f"invalid intersector: {self.intersector!r}")
+        if self.pixel_order not in ("auto", "scanline", "tiled"):
+            raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")
+        if self.pixel_order == "tiled" and (
+            self.width % 16 or self.height % 8
+        ):
+            raise ValueError(
+                "pixel_order='tiled' requires width%16==0 and height%8==0"
+            )

@@ -39,7 +39,7 @@ def uv_to_direction(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
-def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=None) -> jnp.ndarray:
+def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=None, active=None) -> jnp.ndarray:
     """Bilinear fetch from an equirect image [H,W,3] at (u,v) in [0,1].
 
     Matches `sampleHDRI` (cu:503-529) except that x/y wrap uses non-negative
@@ -48,6 +48,9 @@ def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=Non
 
     With `quads` ([H*W,12] from scene.make_env) the four texel fetches
     collapse into one row gather — 4x fewer latency-bound HBM accesses.
+    `active` (bool mask) collapses inactive lanes' gathers onto row 0 —
+    their result is garbage, but duplicate rows cost the latency-bound
+    gather unit less; callers must only consume active lanes.
     """
     h, w = data.shape[0], data.shape[1]
     x = u * w - 0.5
@@ -58,7 +61,10 @@ def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=Non
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
 
     if quads is not None:
-        q = quads[yi0 * w + xi0]                   # [N,12]
+        rows = yi0 * w + xi0
+        if active is not None:
+            rows = jnp.where(active, rows, 0)
+        q = quads[rows]                            # [N,12]
         c00, c10, c01, c11 = q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12]
     else:
         xi1 = jnp.mod(xi0 + 1, w)
@@ -86,8 +92,11 @@ def sunsky(direction: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(in_sun[..., None], sun, sky)
 
 
-def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
-    """Environment radiance for (a batch of) ray direction(s) [...,3]."""
+def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig, active=None) -> jnp.ndarray:
+    """Environment radiance for (a batch of) ray direction(s) [...,3].
+
+    `active`: optional bool mask — lanes outside it return garbage but
+    skip the real gather row (see sample_equirect)."""
     if cfg.env_mode == "constant":
         return jnp.broadcast_to(
             jnp.asarray(cfg.env_constant, dtype=jnp.float32),
@@ -96,7 +105,7 @@ def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig) -> 
     if cfg.env_mode == "sunsky":
         return sunsky(direction)
     u, v = direction_to_uv(direction)
-    return sample_equirect(env.data, u, v, quads=env.quads)
+    return sample_equirect(env.data, u, v, quads=env.quads, active=active)
 
 
 # ---------------------------------------------------------------------------

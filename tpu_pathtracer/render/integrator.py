@@ -169,6 +169,7 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
             tex_u,
             tex_v,
             morton=m.bundled_morton,
+            active=hit.hit,  # miss lanes collapse onto row 0
         )
 
         def prop(kind: int, fallback):
@@ -347,8 +348,9 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
     nee = cfg.env_importance_sampling
     hit = intersect_scene(scene, origin, direction, cfg.t_min, cfg.t_max, cfg)
 
-    # miss program (cu:531-567): radiance += att * env; done.
-    env_rad = eval_env(scene.env, direction, cfg)
+    # miss program (cu:531-567): radiance += att * env; done.  Hit lanes
+    # never consume env_rad, so their gather rows collapse onto row 0.
+    env_rad = eval_env(scene.env, direction, cfg, active=~hit.hit)
     if nee:
         radiance_miss = radiance + jnp.where(
             spec_last[:, None], attenuation * env_rad, 0.0
@@ -383,11 +385,7 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
         from tpu_pathtracer.ops.intersect import occluded_scene
 
         cos_l = jnp.maximum(vm.dot(sh["normal"], env_dir), 0.0)
-        occluded = occluded_scene(
-            scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg
-        )
-        l_env = eval_env(scene.env, env_dir, cfg)
-        nee_ok = (
+        cand = (
             hit_m
             & ~sh["done"]   # depth-truncated paths collect no env light in
             #                 the base estimator either (mean parity)
@@ -395,8 +393,12 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             & ~sh["emissive"]
             & ~sh["degenerate"]
             & (cos_l > 0.0)
-            & ~occluded
         )
+        occluded = occluded_scene(
+            scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg
+        )
+        l_env = eval_env(scene.env, env_dir, cfg, active=cand)
+        nee_ok = cand & ~occluded
         # Lobe-partitioned estimator, consistent with the base integrator.
         # The base (non-NEE) estimator multiplies EVERY continuation by the
         # deterministic blend M = brdf_combined and the |n.l_spec| cosine
@@ -686,6 +688,34 @@ def render_pixels_regen(
     return out
 
 
+def _tiled_order(cfg: RenderConfig) -> bool:
+    """Whether the stream renderer hands out pixels in 16x8 blocks.
+
+    Consecutive lanes then cover a compact 2-D pixel block instead of a
+    512-wide scanline strip.  MEASURED SLOWER on v5e (10.7 -> 9.7 Mrays/s
+    on the suitcase hero): XLA's row gather is latency-bound *per request*
+    — duplicate/adjacent rows cost the same as random ones — so the extra
+    coherence buys nothing, while the slot->pixel arithmetic and the
+    non-monotonic retire scatter rows cost real time.  Kept as an explicit
+    option ("tiled") for experiments; "auto" = scanline.  Output is
+    bitwise-identical either way: seeds key off the pixel id and each
+    pixel's samples accumulate on one lane in sample order."""
+    return cfg.pixel_order == "tiled"
+
+
+def _tile_slot_to_pixel(slot: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Bijection [0, W*H) -> pixel id: consecutive 128-slot groups map to
+    16x8 pixel blocks (blocks row-major).  Requires W%16==0, H%8==0."""
+    b = slot // 128
+    w = slot % 128
+    by = w // 16
+    bx = w - by * 16
+    bpr = width // 16
+    big_y = b // bpr
+    big_x = b - big_y * bpr
+    return (big_y * 8 + by) * width + big_x * 16 + bx
+
+
 def render_pixels_stream(
     scene: Scene,
     cam: dict,
@@ -717,12 +747,15 @@ def render_pixels_stream(
     global (pixel, sample, subframe) counters and each pixel's samples
     accumulate in sample order on a single lane.
     """
-    identity = pixel_ids is None  # frame render: slot IS the pixel id
+    identity = pixel_ids is None  # frame render: slot maps to pixel id
     n_pix = (cfg.width * cfg.height) if identity else pixel_ids.shape[0]
     lanes = min(lanes, n_pix)
+    tiled = identity and _tiled_order(cfg)
 
     def slot_to_pixel(slot):
         if identity:
+            if tiled:
+                return _tile_slot_to_pixel(slot, cfg.width)
             return slot
         return pixel_ids[jnp.minimum(slot, n_pix - 1)]
 
@@ -748,8 +781,12 @@ def render_pixels_stream(
     # retires per lane and flushing 1/8th as often recovers ~25% of frame
     # time at 1080p.  Values are bitwise-identical: each pixel's row
     # receives exactly one non-zero add either way.
-    FIFO_D = 2
-    FLUSH_EVERY = 8
+    # A pixel occupies a lane for >= spp * ~1.4 iterations, so 3 staged
+    # retires per lane almost never force an early flush at 16-iteration
+    # cadence; grouping is bitwise-neutral (each pixel row receives exactly
+    # one nonzero add per frame either way).
+    FIFO_D = 3
+    FLUSH_EVERY = 16
 
     state = dict(
         slot=slot0,                                   # n_pix = retired lane
@@ -806,7 +843,11 @@ def render_pixels_stream(
         pixel_done = newly & (sample_i >= spp)
 
         # -- retire finished pixels into the per-lane FIFO ----------------
-        retire_slot = jnp.where(pixel_done, st["slot"], n_pix)
+        # Output rows are pixel ids in identity mode (slot==pixel unless
+        # tiled, where pix = _tile_slot_to_pixel(slot)) and list positions
+        # otherwise.
+        retire_row = st["pix"] if tiled else st["slot"]
+        retire_slot = jnp.where(pixel_done, retire_row, n_pix)
         retire_rgb = jnp.where(
             pixel_done[:, None], lane_accum / jnp.float32(spp), 0.0
         )

@@ -97,6 +97,7 @@ def sample_bundle(
     u: jnp.ndarray,
     v: jnp.ndarray,
     morton: bool = False,
+    active=None,
 ):
     """Bilinear-sample all four map kinds with ONE row gather.
 
@@ -107,6 +108,9 @@ def sample_bundle(
     morton=True addresses Z-curve-ordered bundles (MaterialTable
     .bundled_morton): spatially-close texels sit in close HBM rows, which
     measurably cuts the gather's latency on coherent ray packets.
+
+    `active` (bool mask): inactive lanes' gathers collapse onto row 0
+    (their samples are garbage; callers must mask).
     """
     u = u - jnp.floor(u)
     v = v - jnp.floor(v)
@@ -123,7 +127,10 @@ def sample_bundle(
         texel = _part1by1(x0) | (_part1by1(y0) << 1)
     else:
         texel = y0 * width + x0
-    rows = bundles[offset + texel]                 # [N,16] — the ONE gather
+    idx = offset + texel
+    if active is not None:
+        idx = jnp.where(active, idx, 0)
+    rows = bundles[idx]                            # [N,16] — the ONE gather
 
     outs = []
     for k in range(4):

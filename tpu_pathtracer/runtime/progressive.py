@@ -35,7 +35,7 @@ from tpu_pathtracer.utils import logging as plog
 class ProgressiveRenderer:
     """Owns the accumulation buffer and the subframe counter."""
 
-    def __init__(self, scene, camera: Camera, cfg: RenderConfig, mesh=None, shard_mode: str = "pixels"):
+    def __init__(self, scene, camera: Camera, cfg: RenderConfig, mesh=None, shard_mode: str = "pixels", preview_scale: int = 4):
         self.scene = scene
         self.cfg = cfg
         self.camera = camera.with_aspect(cfg.width, cfg.height)
@@ -45,6 +45,20 @@ class ProgressiveRenderer:
         self.subframe = 0
         self._cam_arrays = camera_arrays(self.camera, cfg)
         self.frame_times: list[float] = []
+        # Adaptive preview: while the camera is moving the viewer renders
+        # at 1/preview_scale resolution and 1 spp — the TPU analog of the
+        # reference's "reset accumulation and keep the loop interactive"
+        # (optixSphere.cpp:267-278).  0/1 disables.
+        self.preview_scale = preview_scale
+        self._preview_cfg = self._make_preview_cfg(preview_scale)
+        self._preview_img: Optional[jnp.ndarray] = None
+
+    def _make_preview_cfg(self, scale: int) -> Optional[RenderConfig]:
+        if not scale or scale <= 1:
+            return None
+        pw = max(16, (self.cfg.width // scale) // 16 * 16)
+        ph = max(8, (self.cfg.height // scale) // 8 * 8)
+        return self.cfg.replace(width=pw, height=ph, samples_per_launch=1)
 
     # -- camera interaction (reference cpp:238-278) ----------------------
     def set_camera(self, camera: Camera) -> None:
@@ -57,6 +71,22 @@ class ProgressiveRenderer:
         self.accum = jnp.zeros_like(self.accum)
         self.subframe = 0
         self.frame_times.clear()
+
+    # -- adaptive preview (camera in motion) ------------------------------
+    def step_preview(self) -> bool:
+        """Render ONE low-res 1-spp frame into the preview buffer (shown
+        by image_u8 until the next full-res step).  Returns False when
+        previewing is disabled."""
+        if self._preview_cfg is None:
+            return False
+        pcfg = self._preview_cfg
+        pcam = camera_arrays(
+            self.camera.with_aspect(pcfg.width, pcfg.height), pcfg
+        )
+        frame = render_frame(self.scene, pcam, pcfg, jnp.int32(self.subframe))
+        frame.block_until_ready()
+        self._preview_img = frame
+        return True
 
     # -- the per-frame step (cpp:1390-1437) -------------------------------
     def step(self) -> jnp.ndarray:
@@ -82,6 +112,7 @@ class ProgressiveRenderer:
         dt = time.perf_counter() - t0
         self.frame_times.append(dt)
         self.subframe += 1
+        self._preview_img = None  # full-res data supersedes the preview
         return self.accum
 
     def render_spp(self, total_spp: int, log_every: int = 10) -> jnp.ndarray:
@@ -104,7 +135,26 @@ class ProgressiveRenderer:
         return self.subframe * self.cfg.samples_per_launch
 
     def image_u8(self) -> np.ndarray:
-        """Post-processed display image (row 0 = top, PNG convention)."""
+        """Post-processed display image (row 0 = top, PNG convention).
+
+        While a preview frame is pending (camera in motion, subframe 0 and
+        nothing accumulated yet) it is shown instead — nearest-upscaled to
+        the display size so the UI stays interactive at full quality cost
+        ~1/(scale^2 * spp) of a real subframe."""
+        if self._preview_img is not None and self.subframe == 0:
+            pv = self._preview_img
+            out = np.asarray(to_uint8(post_process(pv, self.cfg)))[::-1]
+            ry = self.cfg.height / out.shape[0]
+            rx = self.cfg.width / out.shape[1]
+            yi = np.minimum(
+                (np.arange(self.cfg.height) / ry).astype(np.int32),
+                out.shape[0] - 1,
+            )
+            xi = np.minimum(
+                (np.arange(self.cfg.width) / rx).astype(np.int32),
+                out.shape[1] - 1,
+            )
+            return out[yi][:, xi]
         out = to_uint8(post_process(self.accum, self.cfg))
         return np.asarray(out)[::-1]
 

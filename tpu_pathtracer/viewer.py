@@ -57,11 +57,18 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
     """Serve the interactive viewer for a ProgressiveRenderer."""
     lock = threading.Lock()
     stop = threading.Event()
+    last_move = [0.0]  # wall time of the last camera interaction
 
     def render_loop():
+        # Adaptive preview (the TPU answer to the reference's interactive
+        # rate): while the camera moved within the last 0.5 s, render
+        # low-res 1-spp preview frames (~1/(scale^2*spp) the cost of a
+        # full subframe); settle back to full-res accumulation when idle.
         while not stop.is_set():
+            interacting = (time.time() - last_move[0]) < 0.5
             with lock:
-                renderer.step()
+                if not (interacting and renderer.step_preview()):
+                    renderer.step()
             time.sleep(0.001)
 
     worker = threading.Thread(target=render_loop, daemon=True)
@@ -99,6 +106,7 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
                         st["spp"] = renderer.spp
                     self._send(200, json.dumps(st).encode(), "application/json")
                 elif url.path == "/orbit":
+                    last_move[0] = time.time()
                     with lock:
                         renderer.set_camera(
                             renderer.camera.orbit(
@@ -107,10 +115,12 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
                         )
                     self._send(200, b"ok")
                 elif url.path == "/zoom":
+                    last_move[0] = time.time()
                     with lock:
                         renderer.set_camera(renderer.camera.zoom(float(q.get("f", 1.0))))
                     self._send(200, b"ok")
                 elif url.path == "/pan":
+                    last_move[0] = time.time()
                     with lock:
                         renderer.set_camera(
                             renderer.camera.pan(
