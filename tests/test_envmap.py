@@ -26,8 +26,13 @@ def test_sample_equirect_quads_match_plain():
     u = jnp.asarray(rs.rand(512).astype(np.float32))
     v = jnp.asarray(rs.rand(512).astype(np.float32))
     a = np.asarray(envmap.sample_equirect(env.data, u, v))
-    b = np.asarray(envmap.sample_equirect(env.data, u, v, quads=env.quads))
+    b = np.asarray(
+        envmap.sample_equirect(
+            env.data, u, v, quads=env.quads, scrambled=env.quads_scrambled
+        )
+    )
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert env.quads_scrambled  # 32*64 is pow2 -> scrambled layout active
 
 
 def test_constant_env_exact():

@@ -111,3 +111,38 @@ def test_bundle_matches_per_map():
             v,
         )
         np.testing.assert_array_equal(np.asarray(outs[k]), np.asarray(per_map))
+
+
+def test_bundle_scrambled_matches_rowmajor():
+    # Hash-permuted bundle rows (pow2 texel count) must sample identically
+    # to the row-major layout — the permutation is applied at build AND at
+    # sample time, so values are bit-equal.
+    from tpu_pathtracer.scene.scene import scramble_order
+
+    rs = np.random.RandomState(3)
+    w = h = 8                                      # 64 texels: pow2
+    imgs = [rs.rand(h, w, 3).astype(np.float32) for _ in range(4)]
+    quads = np.concatenate([make_texture_quads(im) for im in imgs])
+    n_tex = w * h
+    bundle = np.zeros((n_tex, 16), np.uint32)
+    for k in range(4):
+        bundle[:, 4 * k : 4 * k + 4] = quads[n_tex * k : n_tex * (k + 1)]
+    scat = scramble_order(n_tex)
+    assert sorted(scat) == list(range(n_tex))      # bijection
+    sbundle = np.empty_like(bundle)
+    sbundle[scat] = bundle
+
+    n = 256
+    u = jnp.asarray(rs.rand(n), jnp.float32)
+    v = jnp.asarray(rs.rand(n), jnp.float32)
+    args = (
+        jnp.zeros(n, jnp.int32),
+        jnp.full(n, w, jnp.int32),
+        jnp.full(n, h, jnp.int32),
+        u,
+        v,
+    )
+    plain = sample_bundle(jnp.asarray(bundle), *args)
+    scrm = sample_bundle(jnp.asarray(sbundle), *args, scrambled=True)
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(plain[k]), np.asarray(scrm[k]))

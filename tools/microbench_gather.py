@@ -25,24 +25,108 @@ def measure(table, idx, iters=8):
             # to just the used columns (measured: un-consumed widths are
             # free) — exactly what a real kernel cannot do.
             s = rows.sum(axis=1)
-            acc = acc + s
-            ix_ = (ix_ + (s & 1).astype(jnp.int32)) % t.shape[0]
+            acc = acc + s.astype(jnp.float32)
+            ix_ = (ix_ + (s.astype(jnp.int32) & 1)) % t.shape[0]
             return (ix_, acc)
-        return jax.lax.fori_loop(0, n_it, step, (ix + salt, jnp.zeros_like(ix, jnp.uint32)))[1].sum()
+        return jax.lax.fori_loop(0, n_it, step, (ix + salt, jnp.zeros_like(ix, jnp.float32)))[1].sum()
 
-    jl = jax.jit(loop, static_argnames=("n_it",))
+    jl = jax.jit(loop)  # n_it traced: dynamic trip count, no unroll/cache
     salt = [0]
 
     def run(n_it):
         salt[0] += 1
         t0 = time.perf_counter()
-        jax.block_until_ready(jl(table, idx, salt[0], n_it))
+        # float() readback: on axon block_until_ready alone can return
+        # before remote execution finishes (measured 0.0 ms "runs").
+        float(jl(table, idx, salt[0], n_it))
         return time.perf_counter() - t0
 
     run(iters); run(2 * iters)
     a = min(run(iters) for _ in range(3))
     b = min(run(2 * iters) for _ in range(3))
     return (b - a) / iters, a, b
+
+
+def measure_consume(table, idx, consume, iters=8):
+    """Like measure() but with a custom consumer mapping rows->[N] f32."""
+    def loop(t, ix, salt, n_it):
+        is_multi = isinstance(t, (tuple, list))
+
+        def step(_, carry):
+            ix_, acc = carry
+            rows = [a[ix_] for a in t] if is_multi else t[ix_]
+            s = consume(rows)
+            acc = acc + s
+            ix_ = (ix_ + (s.astype(jnp.int32) & 1)) % (
+                t[0].shape[0] if is_multi else t.shape[0]
+            )
+            return (ix_, acc)
+        return jax.lax.fori_loop(
+            0, n_it, step, (ix + salt, jnp.zeros_like(ix, jnp.float32))
+        )[1].sum()
+
+    jl = jax.jit(loop)
+    salt = [0]
+
+    def run(n_it):
+        salt[0] += 1
+        t0 = time.perf_counter()
+        # float() readback: on axon block_until_ready alone can return
+        # before remote execution finishes (measured 0.0 ms "runs").
+        float(jl(table, idx, salt[0], n_it))
+        return time.perf_counter() - t0
+
+    run(iters); run(2 * iters)
+    a = min(run(iters) for _ in range(3))
+    b = min(run(2 * iters) for _ in range(3))
+    return (b - a) / iters, a, b
+
+
+def consumers(n):
+    import functools
+
+    def rowsum(rows):
+        return rows.sum(axis=1).astype(jnp.float32)
+
+    def coldecode(rows):
+        # texsample-style: extract every column, byte-decode, combine.
+        out = jnp.zeros(rows.shape[:1], jnp.float32)
+        for k in range(rows.shape[1]):
+            w = rows[:, k]
+            out = out + (w & 0xFF).astype(jnp.float32)
+            out = out + ((w >> 8) & 0xFF).astype(jnp.float32)
+        return out
+
+    return rowsum, coldecode
+
+
+def main2():
+    """Consumption-pattern experiment: is the cost the gather or the
+    column-extraction relayout of its [N,16] result?"""
+    n = 131072
+    rows = 4_194_304
+    rng = np.random.default_rng(0)
+    rand_idx = jnp.asarray(rng.integers(0, rows, n), jnp.int32)
+    base = rng.integers(0, 2**31, (rows, 16), np.int64).astype(np.uint32)
+    table = jnp.asarray(base)
+    rowsum, coldecode = consumers(n)
+
+    for name, cons in (("rowsum", rowsum), ("coldecode", coldecode)):
+        m, a, b = measure_consume(table, rand_idx, cons)
+        print(f"[2d table ] consume={name:9s}: {m*1e3:6.2f} ms ({m/n*1e9:5.1f} ns/row) [abs {a*1e3:6.1f}/{b*1e3:6.1f}]")
+
+    # 16 separate [rows] arrays: each gather's output is already lane-major.
+    cols = tuple(jnp.asarray(base[:, k]) for k in range(16))
+
+    def split_consume(rows_list):
+        out = jnp.zeros_like(rows_list[0], dtype=jnp.float32)
+        for w in rows_list:
+            out = out + (w & 0xFF).astype(jnp.float32)
+            out = out + ((w >> 8) & 0xFF).astype(jnp.float32)
+        return out
+
+    m, a, b = measure_consume(cols, rand_idx, split_consume)
+    print(f"[16 arrays] consume=bytedecode: {m*1e3:6.2f} ms ({m/n*1e9:5.1f} ns/row) [abs {a*1e3:6.1f}/{b*1e3:6.1f}]")
 
 
 def main():
@@ -56,17 +140,25 @@ def main():
     const_idx = jnp.zeros((n,), jnp.int32)
 
     for width in (4, 8, 10, 12, 16, 24):
-        table = jnp.asarray(
-            rng.integers(0, 2**31, (rows, width), np.int64).astype(np.uint32)
-        )
-        for name, idx in (("rand", rand_idx), ("coh", coh_idx), ("const", const_idx)):
-            m, a, b = measure(table, idx)
-            print(
-                f"width={width:3d}u32 ({width*4:3d}B) idx={name:5s}: "
-                f"{m*1e3:6.2f} ms  ({m/n*1e9:5.1f} ns/row)"
-                f"  [abs {a*1e3:6.1f}/{b*1e3:6.1f}]"
-            )
+        base = rng.integers(0, 2**31, (rows, width), np.int64).astype(np.uint32)
+        for dt in ("u32", "f32"):
+            if dt == "u32":
+                table = jnp.asarray(base)
+            else:
+                table = jnp.asarray((base >> 9).astype(np.float32))
+            for name, idx in (("rand", rand_idx), ("coh", coh_idx), ("const", const_idx)):
+                m, a, b = measure(table, idx)
+                print(
+                    f"width={width:3d} ({width*4:3d}B) {dt} idx={name:5s}: "
+                    f"{m*1e3:6.2f} ms  ({m/n*1e9:5.1f} ns/row)"
+                    f"  [abs {a*1e3:6.1f}/{b*1e3:6.1f}]"
+                )
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--consume" in sys.argv:
+        main2()
+    else:
+        main()

@@ -117,7 +117,9 @@ def main():
             salt[0] += 1
             sv = jnp.float32(salt[0] * 1e-3)
             t0 = time.perf_counter()
-            jax.block_until_ready(jl(scene, o0, d0, seeds0, sv, iters))
+            # float() readback: on axon, block_until_ready alone can return
+            # before remote execution finishes (measured 0.0 ms "runs").
+            float(jl(scene, o0, d0, seeds0, sv, iters))
             return time.perf_counter() - t0
 
         run(K); run(2 * K)  # compile both shapes
@@ -164,6 +166,9 @@ def main():
             ma[:, S.MAT_BUNDLE_WIDTH].astype(jnp.int32),
             ma[:, S.MAT_BUNDLE_HEIGHT].astype(jnp.int32),
             hit.bary[:, 0], hit.bary[:, 1],
+            morton=sc.materials.bundled_morton,
+            scrambled=sc.materials.bundled_scrambled,
+            active=hit.hit,
         )
         return (o + clipt(hit)[:, None] * d + 1e-5 * bs[0], d, s)
 

@@ -39,7 +39,7 @@ def uv_to_direction(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
-def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=None, active=None) -> jnp.ndarray:
+def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=None, active=None, scrambled: bool = False) -> jnp.ndarray:
     """Bilinear fetch from an equirect image [H,W,3] at (u,v) in [0,1].
 
     Matches `sampleHDRI` (cu:503-529) except that x/y wrap uses non-negative
@@ -48,9 +48,12 @@ def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=Non
 
     With `quads` ([H*W,12] from scene.make_env) the four texel fetches
     collapse into one row gather — 4x fewer latency-bound HBM accesses.
-    `active` (bool mask) collapses inactive lanes' gathers onto row 0 —
-    their result is garbage, but duplicate rows cost the latency-bound
-    gather unit less; callers must only consume active lanes.
+    scrambled=True addresses hash-permuted quad rows (EnvironmentMap
+    .quads_scrambled): scattered rows are ~2x faster on the v5e gather
+    unit than the adjacent rows coherent miss packets would otherwise hit.
+    `active` (bool mask) spreads inactive lanes' gathers over hashed
+    distinct rows (duplicates serialise); their result is garbage and
+    callers must only consume active lanes.
     """
     h, w = data.shape[0], data.shape[1]
     x = u * w - 0.5
@@ -62,8 +65,17 @@ def sample_equirect(data: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, quads=Non
 
     if quads is not None:
         rows = yi0 * w + xi0
+        if scrambled:
+            from tpu_pathtracer.scene.scene import SCRAMBLE_MULT
+
+            rows = (
+                (rows.astype(jnp.uint32) * jnp.uint32(SCRAMBLE_MULT))
+                & jnp.uint32(h * w - 1)
+            ).astype(jnp.int32)
         if active is not None:
-            rows = jnp.where(active, rows, 0)
+            from tpu_pathtracer.render.texsample import _spread_rows
+
+            rows = jnp.where(active, rows, _spread_rows(rows.shape[0], h * w))
         q = quads[rows]                            # [N,12]
         c00, c10, c01, c11 = q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12]
     else:
@@ -105,7 +117,10 @@ def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig, act
     if cfg.env_mode == "sunsky":
         return sunsky(direction)
     u, v = direction_to_uv(direction)
-    return sample_equirect(env.data, u, v, quads=env.quads, active=active)
+    return sample_equirect(
+        env.data, u, v, quads=env.quads, active=active,
+        scrambled=env.quads_scrambled,
+    )
 
 
 # ---------------------------------------------------------------------------

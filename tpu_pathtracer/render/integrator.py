@@ -169,7 +169,8 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
             tex_u,
             tex_v,
             morton=m.bundled_morton,
-            active=hit.hit,  # miss lanes collapse onto row 0
+            scrambled=m.bundled_scrambled,
+            active=hit.hit,  # miss lanes spread over hashed rows
         )
 
         def prop(kind: int, fallback):

