@@ -1,0 +1,71 @@
+"""Quick hero-scene experiment driver: vary stream_lanes / cluster_size /
+rays_per_tile without touching bench.py.
+
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python tools/exp_hero.py \
+      [--lanes 131072] [--cluster-size 128] [--frames 4] [--spp 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=131072)
+    ap.add_argument("--cluster-size", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--rays-per-tile", type=int, default=0, help="0 = default")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.utils.logging import enable_compile_cache
+
+    enable_compile_cache()
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+    from tpu_pathtracer.scene.builder import load_scene
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    ref = "/root/reference"
+    env = make_env(procedural_hdr(256, 512))
+    scene = load_scene(
+        [f"{ref}/suitcase.obj", f"{ref}/test.obj"],
+        scale=0.05, env=env, rng_seed=0, accel="cluster",
+        accel_kw={"cluster_size": args.cluster_size},
+    )
+    cfg = RenderConfig(
+        width=1920, height=1080, samples_per_launch=args.spp,
+        max_depth=args.depth, dof=False, env_mode="equirect",
+        intersector="cluster", stream_lanes=args.lanes,
+    )
+    cam = camera_arrays(
+        Camera(eye=(0, 2, 6), lookat=(0, 0.5, 0)).with_aspect(
+            cfg.width, cfg.height
+        ),
+        cfg,
+    )
+
+    img = render_frame(scene, cam, cfg, jnp.int32(0))
+    float(img.sum())  # compile + sync (axon: only readback really waits)
+    t0 = time.perf_counter()
+    for k in range(args.frames):
+        img = render_frame(scene, cam, cfg, jnp.int32(k + 1))
+        float(img.sum())
+    dt = (time.perf_counter() - t0) / args.frames
+    print(
+        f"lanes={args.lanes} cluster={args.cluster_size} "
+        f"spp={args.spp}: {dt:.3f} s/launch"
+    )
+
+
+if __name__ == "__main__":
+    main()

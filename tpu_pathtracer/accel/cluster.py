@@ -51,29 +51,43 @@ class ClusterAccel:
         vertices: [T,3,3] Morton-permuted (T padded up to C*K internally).
         """
         vmem_bytes = self.tris16.size * 4
-        if (
-            cfg.use_pallas
-            and jax.default_backend() == "tpu"
-            and vmem_bytes <= 6 * 1024 * 1024
-        ):
-            from tpu_pathtracer.ops.intersect_pallas import (
-                intersect_clusters_pallas,
-            )
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            if vmem_bytes <= 6 * 1024 * 1024:
+                from tpu_pathtracer.ops.intersect_pallas import (
+                    intersect_clusters_pallas,
+                )
 
-            # No ray sort: the wavefront's lane order is already
-            # packet-coherent (neighbouring lanes = neighbouring pixels,
-            # and the stream queue hands out pixels in order), and a
-            # (origin cell, octant) sort + permute measured ~8 ms per
-            # 256k-lane bounce on v5e — more than its culling buys back.
-            best_t, best_prim, bary = intersect_clusters_pallas(
-                self.tris16,
-                self.aabb8,
-                self.order,
-                origins,
-                directions,
-                t_min=float(t_min),
-                t_max=float(t_max),
-            )
+                # No ray sort: the wavefront's lane order is already
+                # packet-coherent (neighbouring lanes = neighbouring
+                # pixels, and the stream queue hands out pixels in
+                # order), and a (origin cell, octant) sort + permute
+                # measured ~8 ms per 256k-lane bounce on v5e — more than
+                # its culling buys back.
+                best_t, best_prim, bary = intersect_clusters_pallas(
+                    self.tris16,
+                    self.aabb8,
+                    self.order,
+                    origins,
+                    directions,
+                    t_min=float(t_min),
+                    t_max=float(t_max),
+                )
+            else:
+                # Beyond the VMEM budget: stream cluster blocks HBM->VMEM
+                # over a second grid axis (Pallas double-buffers the
+                # copies) instead of dropping to the 4x-slower XLA scan.
+                from tpu_pathtracer.ops.intersect_pallas import (
+                    intersect_clusters_pallas_streamed,
+                )
+
+                best_t, best_prim, bary = intersect_clusters_pallas_streamed(
+                    self.tris16,
+                    self.aabb8,
+                    origins,
+                    directions,
+                    t_min=float(t_min),
+                    t_max=float(t_max),
+                )
             # The kernel carries the winner's (t, prim, bary), so the Hit
             # assembles with zero per-lane gathers (no finalize pass).
             hit = best_prim < jnp.int32(0x7FFFFFFF)
@@ -94,19 +108,28 @@ class ClusterAccel:
         no distance ordering, no prim/barycentric tracking, and the
         Pallas kernel early-exits once a packet is fully occluded."""
         vmem_bytes = self.tris16.size * 4
-        if (
-            cfg.use_pallas
-            and jax.default_backend() == "tpu"
-            and vmem_bytes <= 6 * 1024 * 1024
-        ):
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            if vmem_bytes <= 6 * 1024 * 1024:
+                from tpu_pathtracer.ops.intersect_pallas import (
+                    occluded_clusters_pallas,
+                )
+
+                return occluded_clusters_pallas(
+                    self.tris16, self.aabb8, self.order, origins, directions,
+                    t_min=float(t_min), t_max=float(t_max),
+                )
+            # Big scene: the streamed closest-hit kernel still beats the
+            # XLA scan; any-hit early exit is lost but the result is the
+            # same occlusion predicate.
             from tpu_pathtracer.ops.intersect_pallas import (
-                occluded_clusters_pallas,
+                intersect_clusters_pallas_streamed,
             )
 
-            return occluded_clusters_pallas(
-                self.tris16, self.aabb8, self.order, origins, directions,
+            _, best_prim, _ = intersect_clusters_pallas_streamed(
+                self.tris16, self.aabb8, origins, directions,
                 t_min=float(t_min), t_max=float(t_max),
             )
+            return best_prim < jnp.int32(0x7FFFFFFF)
         return self._occluded_xla(vertices, origins, directions, t_min, t_max)
 
     def _occluded_xla(self, vertices, origins, directions, t_min, t_max) -> jnp.ndarray:

@@ -118,6 +118,7 @@ def load_scene(
     mtl_basepath: Optional[str] = None,
     use_native: bool = True,
     accel: Optional[str] = None,
+    accel_kw: Optional[dict] = None,
 ) -> Scene:
     """Load OBJ files into a Scene.
 
@@ -254,7 +255,9 @@ def load_scene(
         # which scene.accel.build_accel(scene) would trigger.
         from tpu_pathtracer.accel.build import build_accel_arrays
 
-        perm, accel_obj = build_accel_arrays(vertices, kind=accel)
+        perm, accel_obj = build_accel_arrays(
+            vertices, kind=accel, **(accel_kw or {})
+        )
         vertices = vertices[perm]
         normals = normals[perm]
         uvs = uvs[perm]
