@@ -222,3 +222,46 @@ def test_per_material_ior_honored():
     img_15 = render(plain, cfg15, camera=cam)
     np.testing.assert_array_equal(img_mat, img_cfg)
     assert np.abs(img_mat - img_15).max() > 1e-4
+
+
+def _assert_ulp_close(a, b, max_frac=0.25):
+    """Same values up to compiler re-association. Deferred shading runs
+    the identical shade math on chunk-shaped arrays; XLA's fusion/FMA
+    choices for the different shape re-round a handful of ops (~2e-6
+    relative after a bounce chain).  An actual estimator/schedule bug
+    (wrong lane routing, RR divergence) produces O(1) errors, far outside
+    this gate; most elements must still match bitwise."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    np.testing.assert_allclose(a, b, rtol=3e-5, atol=1e-7)
+    assert (a != b).mean() <= max_frac
+
+
+def test_deferred_shade_matches_dense():
+    """cfg.deferred_shade compacts hit lanes before shading; every path's
+    math and RNG chain are untouched, so the render must match the dense
+    schedule to within compiler rounding — on a textured scene (bundle
+    gathers) with mixed hit/miss lanes and glass/emissive materials."""
+    from tpu_pathtracer.scene.procedural import three_spheres_scene
+
+    scene = three_spheres_scene(stacks=8, slices=16)
+    base = dict(width=64, height=48, samples_per_launch=3, max_depth=5,
+                dof=False, env_mode="sunsky", intersector="brute")
+    cam = Camera(eye=(0, 2, 8))
+    dense = render(scene, RenderConfig(**base), camera=cam)
+    deferred = render(
+        scene, RenderConfig(**base, deferred_shade=True), camera=cam
+    )
+    _assert_ulp_close(dense, deferred)
+
+
+def test_deferred_shade_streaming_schedule():
+    """Deferred shading under the streaming work-queue renderer (small
+    stream_lanes forces the queue) matches too."""
+    scene = single_sphere_scene(stacks=8, slices=16)
+    base = dict(width=48, height=32, samples_per_launch=4, max_depth=4,
+                dof=False, env_mode="constant", intersector="brute",
+                stream_lanes=256)
+    dense = render(scene, RenderConfig(**base))
+    deferred = render(scene, RenderConfig(**base, deferred_shade=True))
+    _assert_ulp_close(dense, deferred)

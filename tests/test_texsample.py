@@ -84,12 +84,14 @@ def test_material_property_fallback():
 
 
 def test_bundle_matches_per_map():
+    from tpu_pathtracer.scene.scene import pack_bundle_rows
+
     rs = np.random.RandomState(1)
     imgs = [rs.rand(6, 6, 3).astype(np.float32) for _ in range(4)]
     quads = np.concatenate([make_texture_quads(im) for im in imgs])
-    bundle = np.zeros((36, 16), np.uint32)
-    for k in range(4):
-        bundle[:, 4 * k : 4 * k + 4] = quads[36 * k : 36 * (k + 1)]
+    kq = [quads[36 * k : 36 * (k + 1)] for k in range(4)]
+    bundle = pack_bundle_rows(kq[0], kq[1], kq[2], kq[3], 36)
+    assert bundle.shape == (36, 8)
     n = 256
     u = jnp.asarray(rs.rand(n), jnp.float32)
     v = jnp.asarray(rs.rand(n), jnp.float32)
@@ -110,7 +112,16 @@ def test_bundle_matches_per_map():
             u,
             v,
         )
-        np.testing.assert_array_equal(np.asarray(outs[k]), np.asarray(per_map))
+        if k in (0, 2):
+            # albedo / normal carry full rgb
+            np.testing.assert_array_equal(np.asarray(outs[k]), np.asarray(per_map))
+        else:
+            # roughness / metallic carry only the consumed .r channel,
+            # broadcast across rgb (shading reads [:, 0])
+            out = np.asarray(outs[k])
+            np.testing.assert_array_equal(out[:, 0], np.asarray(per_map)[:, 0])
+            np.testing.assert_array_equal(out[:, 1], out[:, 0])
+            np.testing.assert_array_equal(out[:, 2], out[:, 0])
 
 
 def test_bundle_scrambled_matches_rowmajor():
@@ -123,10 +134,11 @@ def test_bundle_scrambled_matches_rowmajor():
     w = h = 8                                      # 64 texels: pow2
     imgs = [rs.rand(h, w, 3).astype(np.float32) for _ in range(4)]
     quads = np.concatenate([make_texture_quads(im) for im in imgs])
+    from tpu_pathtracer.scene.scene import pack_bundle_rows
+
     n_tex = w * h
-    bundle = np.zeros((n_tex, 16), np.uint32)
-    for k in range(4):
-        bundle[:, 4 * k : 4 * k + 4] = quads[n_tex * k : n_tex * (k + 1)]
+    kq = [quads[n_tex * k : n_tex * (k + 1)] for k in range(4)]
+    bundle = pack_bundle_rows(kq[0], kq[1], kq[2], kq[3], n_tex)
     scat = scramble_order(n_tex)
     assert sorted(scat) == list(range(n_tex))      # bijection
     sbundle = np.empty_like(bundle)

@@ -19,7 +19,11 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--spp", type=int, default=10)
     ap.add_argument("--depth", type=int, default=8)
-    ap.add_argument("--rays-per-tile", type=int, default=0, help="0 = default")
+    ap.add_argument("--rays-per-tile", type=int, default=512)
+    ap.add_argument("--fifo-depth", type=int, default=3)
+    ap.add_argument("--flush-every", type=int, default=16)
+    ap.add_argument("--deferred", action="store_true")
+    ap.add_argument("--chunk-div", type=int, default=4)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -46,6 +50,9 @@ def main():
         width=1920, height=1080, samples_per_launch=args.spp,
         max_depth=args.depth, dof=False, env_mode="equirect",
         intersector="cluster", stream_lanes=args.lanes,
+        pallas_rays_per_tile=args.rays_per_tile,
+        fifo_depth=args.fifo_depth, flush_every=args.flush_every,
+        deferred_shade=args.deferred, deferred_chunk_div=args.chunk_div,
     )
     cam = camera_arrays(
         Camera(eye=(0, 2, 6), lookat=(0, 0.5, 0)).with_aspect(
@@ -62,7 +69,9 @@ def main():
         float(img.sum())
     dt = (time.perf_counter() - t0) / args.frames
     print(
-        f"lanes={args.lanes} cluster={args.cluster_size} "
+        f"lanes={args.lanes} cluster={args.cluster_size} rpt={args.rays_per_tile} "
+        f"fifo={args.fifo_depth}/{args.flush_every} "
+        f"deferred={int(args.deferred)}/{args.chunk_div} "
         f"spp={args.spp}: {dt:.3f} s/launch"
     )
 

@@ -129,6 +129,36 @@ def main2():
     print(f"[16 arrays] consume=bytedecode: {m*1e3:6.2f} ms ({m/n*1e9:5.1f} ns/row) [abs {a*1e3:6.1f}/{b*1e3:6.1f}]")
 
 
+def main3():
+    """Table-SIZE sweep: gather ns/row vs total table bytes at fixed width.
+
+    Motivation: env-quad gathers (2 MB table) measured ~1 ns/row inside the
+    render loop while texture-bundle gathers (268 MB) pay ~20 ns/row — if
+    the cliff sits near the VMEM capacity, shrinking the bundle below it
+    (narrower rows + more gathers) could beat the 'floor'."""
+    n = 131072
+    rng = np.random.default_rng(0)
+    for width, rows in (
+        (16, 131_072),     # 8 MB
+        (16, 524_288),     # 32 MB
+        (16, 1_048_576),   # 64 MB
+        (16, 2_097_152),   # 128 MB
+        (16, 4_194_304),   # 256 MB (current bundle layout)
+        (2, 4_194_304),    # 32 MB — 8B rows: the 4-gather bilinear layout
+        (4, 4_194_304),    # 64 MB — 16B rows
+        (8, 4_194_304),    # 128 MB — 32B channel-packed quad layout
+    ):
+        base = rng.integers(0, 2**31, (rows, width), np.int64).astype(np.uint32)
+        table = jnp.asarray(base)
+        idx = jnp.asarray(rng.integers(0, rows, n), jnp.int32)
+        m, a, b = measure(table, idx)
+        mb = rows * width * 4 / 1e6
+        print(
+            f"rows={rows:9d} width={width:2d} ({mb:6.1f} MB): "
+            f"{m*1e3:6.2f} ms  ({m/n*1e9:5.1f} ns/row)  [abs {a*1e3:6.1f}/{b*1e3:6.1f}]"
+        )
+
+
 def main():
     n = 131072
     rows = 4_194_304  # 2048^2 texels
@@ -160,5 +190,7 @@ if __name__ == "__main__":
 
     if "--consume" in sys.argv:
         main2()
+    elif "--size-sweep" in sys.argv:
+        main3()
     else:
         main()

@@ -71,6 +71,7 @@ class ClusterAccel:
                     directions,
                     t_min=float(t_min),
                     t_max=float(t_max),
+                    rays_per_tile=cfg.pallas_rays_per_tile,
                 )
             else:
                 # Beyond the VMEM budget: stream cluster blocks HBM->VMEM
@@ -117,6 +118,7 @@ class ClusterAccel:
                 return occluded_clusters_pallas(
                     self.tris16, self.aabb8, self.order, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
+                    rays_per_tile=cfg.pallas_rays_per_tile,
                 )
             # Big scene: the streamed closest-hit kernel still beats the
             # XLA scan; any-hit early exit is lost but the result is the

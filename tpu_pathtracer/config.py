@@ -115,6 +115,27 @@ class RenderConfig:
     # (monkey 15.7k tris: 1.60 vs 1.11 Mrays/s end-to-end on v5e); small
     # scenes route to brute via intersector="auto" regardless.
     use_pallas: bool = True
+    # Deferred (hit-compacted) shading: instead of running the closest-hit
+    # program on every lane (miss lanes pay the texture-bundle gather and
+    # the full GGX math for nothing — ~60% of traced segments are misses
+    # on the hero scene), compact hit lanes into dense chunks of
+    # lanes/deferred_chunk_div via a prefix-sum scatter and shade only
+    # those.  Each path's RNG chain and shade math are untouched — output
+    # matches the dense schedule to within XLA's shape-dependent rounding
+    # (<= 1 ULP; fusion/FMA choices differ for chunk-shaped arrays), which
+    # is why it is opt-in rather than the default.
+    deferred_shade: bool = False
+    deferred_chunk_div: int = 4
+    # Rays per Pallas packet (grid tile).  Smaller packets cull clusters
+    # more precisely (the per-packet slab test unions fewer rays) at the
+    # cost of more grid steps; 512 measured best on v5e for the hero scene.
+    pallas_rays_per_tile: int = 512
+    # Streaming renderer: retire-FIFO depth per lane and flush cadence
+    # (iterations between batched output scatters).  The output scatter is
+    # table-size-bound (~4.5 ms into a 1080p image on v5e regardless of
+    # update count), so flushing rarely matters more than flushing small.
+    fifo_depth: int = 3
+    flush_every: int = 16
     # Accumulation dtype for the film. float32 matches the reference.
     accum_dtype: str = "float32"
 

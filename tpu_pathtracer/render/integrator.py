@@ -331,6 +331,143 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
 
 
 # ---------------------------------------------------------------------------
+# Deferred (hit-compacted) shading
+# ---------------------------------------------------------------------------
+
+_PACK_IN_COLS = 16   # origin 3, direction 3, seeds 1, depth 1, t 1, prim 1, bary 2
+_PACK_OUT_COLS = 16  # new_origin 3, new_direction 3, att_factor 3, emission 3, seeds 1, flags 1
+
+
+def _bitcast_f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _bitcast_i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _bitcast_u(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _shade_deferred(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds, depth):
+    """Hit-compacted `_shade`: run the closest-hit program only on (dense
+    chunks of) lanes that actually hit geometry.
+
+    The texture-bundle gather is issue-bound per ROW (~20 ns each from an
+    HBM-resident pool) and the GGX/normal-map math is ~10 ns/lane — but on
+    the hero scene ~60% of traced segments are env misses that throw that
+    work away.  This is the wavefront version of the shade stage OptiX
+    gets from SER + separate CH launches (reference optixSphere.cu:113-118
+    re-sorts; here we compact):
+
+      1. prefix-sum the hit mask -> each hit lane's dense slot;
+      2. scatter a packed 16-column shade-input row per hit lane
+         (scatters with unique indices are ~free on v5e);
+      3. shade `ceil(n_hit / C)` dense C-lane chunks (dynamic trip count;
+         a chunk's inputs are a contiguous dynamic_slice, NOT a gather);
+      4. scatter each chunk's packed outputs back to its source lanes.
+
+    Same math and per-lane RNG chain as `_shade` (miss lanes never
+    consumed their _shade draws — callers select seeds under the hit
+    mask); outputs match the dense schedule to within XLA's
+    shape-dependent rounding (~1 ULP: fusion/FMA choices differ for
+    chunk-shaped arrays).  Returns the same dict as `_shade` restricted to
+    the fields the non-NEE callers consume; miss lanes hold zeros
+    (callers mask on hit).
+    """
+    n = origins.shape[0]
+    c = max(1024, -(-(n // cfg.deferred_chunk_div) // 1024) * 1024)
+    c = min(c, n)
+    from tpu_pathtracer.ops.scan import cumsum_i32
+
+    hitm = hit.hit
+    pos = cumsum_i32(hitm.astype(jnp.int32))
+    n_hit = pos[-1]
+    slot = pos - 1
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+
+    # lane_of_slot[s] = source lane of dense slot s; row n = sink for the
+    # garbage tail of the last chunk (init n, miss lanes dropped).
+    dest = jnp.where(hitm, slot, n + 1)  # n+1 = out of range -> dropped
+    lane_of_slot = jnp.full((n + 1,), n, jnp.int32).at[dest].set(
+        lane_ids, mode="drop"
+    )
+
+    packed_in = jnp.zeros((n + 1, _PACK_IN_COLS), jnp.float32)
+    packed_in = packed_in.at[:n].set(
+        jnp.concatenate(
+            [
+                origins,
+                directions,
+                _bitcast_f(seeds)[:, None],
+                _bitcast_f(depth)[:, None],
+                hit.t[:, None],
+                _bitcast_f(hit.prim)[:, None],
+                hit.bary,
+                jnp.zeros((n, _PACK_IN_COLS - 12), jnp.float32),
+            ],
+            axis=-1,
+        )
+    )
+
+    def chunk(carry):
+        k, out_buf = carry
+        idx = jax.lax.dynamic_slice(lane_of_slot, (k * c,), (c,))   # [C]
+        rows = packed_in[idx]                                       # [C,16]
+        o_c = rows[:, 0:3]
+        d_c = rows[:, 3:6]
+        s_c = _bitcast_u(rows[:, 6])
+        dep_c = _bitcast_i(rows[:, 7])
+        hit_c = Hit(
+            t=rows[:, 8],
+            prim=_bitcast_i(rows[:, 9]),
+            bary=rows[:, 10:12],
+            hit=idx < n,
+        )
+        sh = _shade(scene, cfg, hit_c, o_c, d_c, s_c, dep_c)
+        flags = (
+            sh["att_ok"].astype(jnp.int32)
+            | (sh["emissive"].astype(jnp.int32) << 1)
+            | (sh["degenerate"].astype(jnp.int32) << 2)
+            | (sh["done"].astype(jnp.int32) << 3)
+        )
+        packed_out = jnp.concatenate(
+            [
+                sh["new_origin"],
+                sh["new_direction"],
+                sh["att_factor"],
+                sh["emission"],
+                _bitcast_f(sh["seeds"])[:, None],
+                _bitcast_f(flags)[:, None],
+                jnp.zeros((c, _PACK_OUT_COLS - 14), jnp.float32),
+            ],
+            axis=-1,
+        )
+        # Garbage tail slots carry idx == n -> land on the sink row.
+        out_buf = out_buf.at[idx].set(packed_out)
+        return k + 1, out_buf
+
+    out0 = jnp.zeros((n + 1, _PACK_OUT_COLS), jnp.float32)
+    _, out_buf = jax.lax.while_loop(
+        lambda kc: kc[0] * c < n_hit, chunk, (jnp.int32(0), out0)
+    )
+    out = out_buf[:n]
+    flags = _bitcast_i(out[:, 13])
+    return dict(
+        new_origin=out[:, 0:3],
+        new_direction=out[:, 3:6],
+        att_factor=out[:, 6:9],
+        emission=out[:, 9:12],
+        seeds=_bitcast_u(out[:, 12]),
+        att_ok=(flags & 1) > 0,
+        emissive=(flags & 2) > 0,
+        degenerate=(flags & 4) > 0,
+        done=(flags & 8) > 0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # The bounce loop (reference raygen loop, cu:362-396)
 # ---------------------------------------------------------------------------
 
@@ -359,7 +496,12 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
     else:
         radiance_miss = radiance + attenuation * env_rad
 
-    sh = _shade(scene, cfg, hit, origin, direction, seeds, depth)
+    # NEE consumes extra _shade fields (normal, lobe data) that the packed
+    # deferred path does not carry; it keeps the dense shade.
+    if cfg.deferred_shade and not nee:
+        sh = _shade_deferred(scene, cfg, hit, origin, direction, seeds, depth)
+    else:
+        sh = _shade(scene, cfg, hit, origin, direction, seeds, depth)
     seeds_out = sh["seeds"]
 
     hit_m = hit.hit
@@ -786,8 +928,8 @@ def render_pixels_stream(
     # retires per lane almost never force an early flush at 16-iteration
     # cadence; grouping is bitwise-neutral (each pixel row receives exactly
     # one nonzero add per frame either way).
-    FIFO_D = 3
-    FLUSH_EVERY = 16
+    FIFO_D = cfg.fifo_depth
+    FLUSH_EVERY = cfg.flush_every
 
     state = dict(
         slot=slot0,                                   # n_pix = retired lane

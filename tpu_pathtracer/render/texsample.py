@@ -105,7 +105,7 @@ def _part1by1(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_bundle(
-    bundles: jnp.ndarray,    # [Pb,16] u32: 4 map kinds x 4 quad words
+    bundles: jnp.ndarray,    # [Pb,8] u32 channel-packed quad rows
     offset: jnp.ndarray,     # [N] i32
     width: jnp.ndarray,      # [N] i32
     height: jnp.ndarray,     # [N] i32
@@ -115,11 +115,18 @@ def sample_bundle(
     scrambled: bool = False,
     active=None,
 ):
-    """Bilinear-sample all four map kinds with ONE row gather.
+    """Bilinear-sample all four map kinds with ONE 32-byte row gather.
+
+    Row layout (scene.pack_bundle_rows): cols 0-3 = word A per quad corner
+    (albedo.rgb + roughness.r), cols 4-7 = word B (normal.rgb +
+    metallic.r) — the eight u8 channels shading actually consumes, at half
+    the row bytes of a naive 4-kinds-x-4-words layout (~13.4 vs ~21.6
+    ns/row on the v5e gather unit).
 
     Used when every material's maps share dimensions (MaterialTable
-    .bundled); returns a list of four [N,3] rgb arrays in kind order
-    (albedo, roughness, normal, metallic).
+    .bundled); returns a list of four [N,3] arrays in kind order
+    (albedo, roughness, normal, metallic) — roughness/metallic broadcast
+    their scalar channel across rgb.
 
     scrambled=True addresses hash-permuted bundles (MaterialTable
     .bundled_scrambled, the default): the v5e gather unit serves
@@ -153,32 +160,29 @@ def sample_bundle(
     idx = offset + texel
     if active is not None:
         idx = jnp.where(active, idx, _spread_rows(idx.shape[0], bundles.shape[0]))
-    rows = bundles[idx]                            # [N,16] — the ONE gather
+    rows = bundles[idx]                            # [N,8] — the ONE gather
+
+    def lerp2(c00, c10, c01, c11):
+        c0 = c00 + (c10 - c00) * s
+        c1 = c01 + (c11 - c01) * s
+        return c0 + (c1 - c0) * t
+
+    def _alpha(word):
+        return ((word >> 24) & 0xFF).astype(jnp.float32) * _INV255
 
     outs = []
-    for k in range(4):
-        q = rows[:, 4 * k : 4 * k + 4]
-        r00, g00, b00 = _decode_rgb(q[:, 0])
-        r10, g10, b10 = _decode_rgb(q[:, 1])
-        r01, g01, b01 = _decode_rgb(q[:, 2])
-        r11, g11, b11 = _decode_rgb(q[:, 3])
-
-        def lerp2(c00, c10, c01, c11):
-            c0 = c00 + (c10 - c00) * s
-            c1 = c01 + (c11 - c01) * s
-            return c0 + (c1 - c0) * t
-
-        outs.append(
-            jnp.stack(
-                [
-                    lerp2(r00, r10, r01, r11),
-                    lerp2(g00, g10, g01, g11),
-                    lerp2(b00, b10, b01, b11),
-                ],
-                axis=-1,
-            )
+    for base in (0, 4):                            # word A, word B
+        q = rows[:, base : base + 4]
+        corners = [_decode_rgb(q[:, j]) for j in range(4)]
+        rgb = jnp.stack(
+            [lerp2(*(corners[j][ch] for j in range(4))) for ch in range(3)],
+            axis=-1,
         )
-    return outs
+        scalar = lerp2(*(_alpha(q[:, j]) for j in range(4)))
+        outs.append(rgb)                           # albedo / normal
+        outs.append(jnp.stack([scalar] * 3, axis=-1))  # roughness / metallic
+    # kind order: albedo, roughness, normal, metallic
+    return [outs[0], outs[1], outs[2], outs[3]]
 
 
 def material_property(

@@ -88,10 +88,11 @@ class MaterialTable:
     # [P,4] uint32: per texel, its 2x2 wrap-neighbourhood as RGBA8 words
     # (texel, x+1, y+1, x+1&y+1).
     texture_quads: jnp.ndarray
-    # [Pb,16] uint32 bundle pool: 4 map kinds x 4 quad words per texel —
-    # only populated when every material's maps share dimensions
-    # (`bundled` static flag), in which case shading does ONE texture
-    # gather per bounce instead of four.
+    # [Pb,8] uint32 channel-packed bundle pool (see pack_bundle_rows):
+    # per texel corner, word A = albedo.rgb+roughness.r, word B =
+    # normal.rgb+metallic.r — only populated when every material's maps
+    # share dimensions (`bundled` static flag), in which case shading does
+    # ONE 32-byte texture gather per bounce instead of four.
     texture_bundles: jnp.ndarray
     bundled: bool = struct.field(pytree_node=False, default=False)
     # Bundle texels stored in Morton (Z-curve) order instead of row-major.
@@ -228,6 +229,44 @@ def pack_rgba8(img: np.ndarray) -> np.ndarray:
     )
 
 
+def pack_bundle_rows(
+    quads_albedo: Optional[np.ndarray],
+    quads_rough: Optional[np.ndarray],
+    quads_normal: Optional[np.ndarray],
+    quads_metal: Optional[np.ndarray],
+    n_texels: int,
+) -> np.ndarray:
+    """Four [n,4] RGBA8 quad arrays (None = absent map) -> [n,8] u32
+    channel-packed bundle rows.
+
+    Shading consumes albedo.rgb, roughness.r, normal.rgb and metallic.r —
+    eight u8 channels per texel corner, not sixteen — so each corner packs
+    into TWO words instead of four:
+        word A = albedo.r | albedo.g<<8 | albedo.b<<16 | roughness.r<<24
+        word B = normal.r | normal.g<<8 | normal.b<<16 | metallic.r<<24
+    cols 0-3 = word A for corners (00,10,01,11); cols 4-7 = word B.
+    Halving the row from 64B to 32B cuts the HBM gather from ~21.6 to
+    ~13.4 ns/row on v5e (tools/microbench_gather.py --size-sweep)."""
+    def _byte(q, b):
+        if q is None:
+            return np.zeros((n_texels, 4), np.uint32)
+        return (q >> np.uint32(8 * b)) & np.uint32(0xFF)
+
+    word_a = (
+        _byte(quads_albedo, 0)
+        | (_byte(quads_albedo, 1) << np.uint32(8))
+        | (_byte(quads_albedo, 2) << np.uint32(16))
+        | (_byte(quads_rough, 0) << np.uint32(24))
+    )
+    word_b = (
+        _byte(quads_normal, 0)
+        | (_byte(quads_normal, 1) << np.uint32(8))
+        | (_byte(quads_normal, 2) << np.uint32(16))
+        | (_byte(quads_metal, 0) << np.uint32(24))
+    )
+    return np.concatenate([word_a, word_b], axis=1).astype(np.uint32)
+
+
 def make_texture_quads(img: np.ndarray) -> np.ndarray:
     """[H,W,3] float -> [H*W,4] uint32 quad rows (repeat wrap both axes,
     matching render/texsample semantics)."""
@@ -324,7 +363,7 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
         if len(dims) > 1:
             bundled = False
             break
-    bundle_rows = [np.zeros((1, 16), np.uint32)]  # row 0 = no-map sink
+    bundle_rows = [np.zeros((1, 8), np.uint32)]  # row 0 = no-map sink
     bundle_off = 1
     # Morton (Z-order) texel layout when every bundled map is a square
     # power of two: coherent (u,v) -> coherent HBM rows for the gather.
@@ -359,12 +398,17 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
                 continue
             w, h = next(iter(maps.values()))[1], next(iter(maps.values()))[2]
             n_texels = w * h
-            bundle = np.zeros((n_texels, 16), np.uint32)
-            for k, kind in enumerate(kinds):
+
+            def _kind_quads(kind):
                 desc = maps.get(kind)
-                if desc is not None:
-                    off = desc[0]
-                    bundle[:, 4 * k : 4 * k + 4] = texture_quads[off : off + n_texels]
+                if desc is None:
+                    return None
+                return texture_quads[desc[0] : desc[0] + n_texels]
+
+            bundle = pack_bundle_rows(
+                _kind_quads("albedo"), _kind_quads("roughness"),
+                _kind_quads("normal"), _kind_quads("metallic"), n_texels,
+            )
             if bundled_scrambled and n_texels > 1:
                 scatter = scramble_order(n_texels)  # row-major -> hashed
                 sbundle = np.empty_like(bundle)
