@@ -147,8 +147,9 @@ def main() -> int:
 
     cam = camera_arrays(camera.with_aspect(cfg.width, cfg.height), cfg)
 
-    # Compile + warm up.
-    render_frame(scene, cam, cfg, jnp.int32(0)).block_until_ready()
+    # Compile + warm up (float() readback = the only reliable device sync
+    # on axon).
+    float(render_frame(scene, cam, cfg, jnp.int32(0)).sum())
 
     # Traced-ray accounting from inside the actual render schedule
     # (render_frame_stats), including NEE shadow rays.
@@ -160,7 +161,10 @@ def main() -> int:
     t0 = time.perf_counter()
     for k in range(args.frames):
         img = render_frame(scene, cam, cfg, jnp.int32(k + 1))
-    img.block_until_ready()
+    # Device->host readback: on axon, block_until_ready alone can return
+    # before remote execution finishes (docs/perf_notes.md measurement
+    # rules) — the readback is the only reliable sync.
+    float(img.sum())
     dt = time.perf_counter() - t0
 
     rays_per_launch = segs  # segments == rays traced

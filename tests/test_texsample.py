@@ -158,3 +158,37 @@ def test_bundle_scrambled_matches_rowmajor():
     scrm = sample_bundle(jnp.asarray(sbundle), *args, scrambled=True)
     for k in range(4):
         np.testing.assert_array_equal(np.asarray(plain[k]), np.asarray(scrm[k]))
+
+
+def test_bundle_pow2_dims_matches_mod():
+    """pow2_dims=True wraps texels with a bitwise AND; must equal the
+    jnp.mod path bitwise, including the x0f == -1 wrap seam (u ~ 0)."""
+    from tpu_pathtracer.scene.scene import pack_bundle_rows
+
+    rs = np.random.RandomState(7)
+    w, h = 8, 4
+    imgs = [rs.rand(h, w, 3).astype(np.float32) for _ in range(4)]
+    quads = np.concatenate([make_texture_quads(im) for im in imgs])
+    n_tex = w * h
+    kq = [quads[n_tex * k : n_tex * (k + 1)] for k in range(4)]
+    bundle = jnp.asarray(pack_bundle_rows(kq[0], kq[1], kq[2], kq[3], n_tex))
+    n = 128
+    u = jnp.asarray(
+        np.concatenate([np.zeros(8), np.full(8, 0.999), rs.rand(n - 16)]),
+        jnp.float32,
+    )
+    v = jnp.asarray(
+        np.concatenate([np.zeros(8), np.full(8, 0.999), rs.rand(n - 16)]),
+        jnp.float32,
+    )
+    args = (
+        jnp.zeros(n, jnp.int32),
+        jnp.full(n, w, jnp.int32),
+        jnp.full(n, h, jnp.int32),
+        u,
+        v,
+    )
+    a = sample_bundle(bundle, *args, pow2_dims=False)
+    b = sample_bundle(bundle, *args, pow2_dims=True)
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -127,15 +127,18 @@ class RenderConfig:
     deferred_shade: bool = False
     deferred_chunk_div: int = 4
     # Rays per Pallas packet (grid tile).  Smaller packets cull clusters
-    # more precisely (the per-packet slab test unions fewer rays) at the
-    # cost of more grid steps; 512 measured best on v5e for the hero scene.
-    pallas_rays_per_tile: int = 512
+    # more precisely (the per-packet slab test unions fewer rays); bigger
+    # packets amortise per-grid-step overhead.  Sweep on the hero scene:
+    # 256: 2.65, 512: 2.45, 1024: 2.38, 2048: 3.27 s/launch.
+    pallas_rays_per_tile: int = 1024
     # Streaming renderer: retire-FIFO depth per lane and flush cadence
-    # (iterations between batched output scatters).  The output scatter is
-    # table-size-bound (~4.5 ms into a 1080p image on v5e regardless of
-    # update count), so flushing rarely matters more than flushing small.
-    fifo_depth: int = 3
-    flush_every: int = 16
+    # (iterations between batched output scatters).  Scatter-add costs
+    # ~40 ns per scattered ROW on v5e (sink rows included — see
+    # docs/perf_notes.md scatter model), so the flush cadence should sit
+    # near the FIFO fill time; 4/32 measured best (2.325 vs 2.379 for
+    # 3/16 at rays_per_tile 1024).
+    fifo_depth: int = 4
+    flush_every: int = 32
     # Accumulation dtype for the film. float32 matches the reference.
     accum_dtype: str = "float32"
 

@@ -170,6 +170,7 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
             tex_v,
             morton=m.bundled_morton,
             scrambled=m.bundled_scrambled,
+            pow2_dims=m.bundled_pow2_dims,
             active=hit.hit,  # miss lanes spread over hashed rows
         )
 

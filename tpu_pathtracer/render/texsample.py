@@ -113,6 +113,7 @@ def sample_bundle(
     v: jnp.ndarray,
     morton: bool = False,
     scrambled: bool = False,
+    pow2_dims: bool = False,
     active=None,
 ):
     """Bilinear-sample all four map kinds with ONE 32-byte row gather.
@@ -146,8 +147,15 @@ def sample_bundle(
     y0f = jnp.floor(y)
     s = x - x0f
     t = y - y0f
-    x0 = jnp.mod(x0f.astype(jnp.int32), width)
-    y0 = jnp.mod(y0f.astype(jnp.int32), height)
+    if pow2_dims:
+        # repeat-wrap via bitwise AND (x0f >= -1, and two's-complement
+        # -1 & (w-1) == w-1 — exactly mod for pow2 dims); saves two int
+        # divisions per lane.
+        x0 = x0f.astype(jnp.int32) & (width - 1)
+        y0 = y0f.astype(jnp.int32) & (height - 1)
+    else:
+        x0 = jnp.mod(x0f.astype(jnp.int32), width)
+        y0 = jnp.mod(y0f.astype(jnp.int32), height)
 
     if scrambled:
         t_row = (y0 * width + x0).astype(jnp.uint32)

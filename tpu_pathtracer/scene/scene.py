@@ -107,6 +107,10 @@ class MaterialTable:
     # adjacent ones (microbench: seq 5.1 ms vs scrambled 2.8 ms per 131k
     # rows).  Set when every bundled map has a power-of-two texel count.
     bundled_scrambled: bool = struct.field(pytree_node=False, default=False)
+    # Every bundled map has power-of-two width AND height: texel wrap can
+    # use a bitwise AND instead of two integer divisions per lane
+    # (`jnp.mod` lowers to int division, ~20+ VPU cycles each).
+    bundled_pow2_dims: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_materials(self) -> int:
@@ -389,6 +393,11 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
             for desc in mat.get("maps", {}).values()
         )
     )
+    bundled_pow2_dims = bundled and all(
+        _pow2(desc[1]) and _pow2(desc[2])
+        for mat in materials
+        for desc in mat.get("maps", {}).values()
+    )
     if bundled:
         attrs[:, MAT_BUNDLE_WIDTH] = 1.0
         attrs[:, MAT_BUNDLE_HEIGHT] = 1.0
@@ -443,6 +452,7 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
         bundled=bundled,
         bundled_morton=bundled_morton,
         bundled_scrambled=bundled_scrambled,
+        bundled_pow2_dims=bundled_pow2_dims,
     )
 
 
