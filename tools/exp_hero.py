@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--flush-every", type=int, default=16)
     ap.add_argument("--deferred", action="store_true")
     ap.add_argument("--chunk-div", type=int, default=4)
+    ap.add_argument("--scene", default="suitcase",
+                    choices=["suitcase", "monkey", "tower", "highpoly"])
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -41,11 +43,31 @@ def main():
 
     ref = "/root/reference"
     env = make_env(procedural_hdr(256, 512))
-    scene = load_scene(
-        [f"{ref}/suitcase.obj", f"{ref}/test.obj"],
-        scale=0.05, env=env, rng_seed=0, accel="cluster",
-        accel_kw={"cluster_size": args.cluster_size},
-    )
+    files, scale, cam_args = {
+        "highpoly": ([], 1.0, dict(eye=(0, 3, 10), lookat=(0, 1, 0))),
+        "suitcase": (["suitcase.obj", "test.obj"], 0.05,
+                     dict(eye=(0, 2, 6), lookat=(0, 0.5, 0))),
+        "monkey": (["monkey.obj"], 1.0, dict(eye=(0, 1, 4), lookat=(0, 0.6, 0))),
+        "tower": (["tower.obj", "fish.obj", "test.obj"], 1.0,
+                  dict(eye=(0, 1.5, 5), lookat=(0, 0.6, 0))),
+    }[args.scene]
+    if args.scene == "monkey":
+        args.depth = min(args.depth, 4)   # bench config-2 parity
+    if args.scene == "highpoly":
+        from tpu_pathtracer.accel.build import build_accel
+        from tpu_pathtracer.scene.procedural import high_poly_scene
+
+        scene = build_accel(
+            high_poly_scene(total_tris=100_000).replace(env=env),
+            kind="cluster", cluster_size=args.cluster_size,
+        )
+        cam_args = dict(eye=(0, 3, 10), lookat=(0, 1, 0))
+    else:
+        scene = load_scene(
+            [f"{ref}/{f}" for f in files],
+            scale=scale, env=env, rng_seed=0, accel="cluster",
+            accel_kw={"cluster_size": args.cluster_size},
+        )
     cfg = RenderConfig(
         width=1920, height=1080, samples_per_launch=args.spp,
         max_depth=args.depth, dof=False, env_mode="equirect",
@@ -55,10 +77,7 @@ def main():
         deferred_shade=args.deferred, deferred_chunk_div=args.chunk_div,
     )
     cam = camera_arrays(
-        Camera(eye=(0, 2, 6), lookat=(0, 0.5, 0)).with_aspect(
-            cfg.width, cfg.height
-        ),
-        cfg,
+        Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg
     )
 
     img = render_frame(scene, cam, cfg, jnp.int32(0))
@@ -69,6 +88,7 @@ def main():
         float(img.sum())
     dt = (time.perf_counter() - t0) / args.frames
     print(
+        f"scene={args.scene} depth={args.depth} "
         f"lanes={args.lanes} cluster={args.cluster_size} rpt={args.rays_per_tile} "
         f"fifo={args.fifo_depth}/{args.flush_every} "
         f"deferred={int(args.deferred)}/{args.chunk_div} "

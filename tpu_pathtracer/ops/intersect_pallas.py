@@ -40,6 +40,24 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG_PRIM = np.int32(0x7FFFFFFF)
 
 
+def _vmem_params(scene_bytes: int, rays_per_tile: int, cluster_k: int):
+    """CompilerParams with an explicit scoped-VMEM budget when the kernel
+    won't fit the 16 MB default.
+
+    Measured need (Mosaic, v5e): ~2x the resident scene block (double
+    buffering) plus ~70 live (K,R) f32 Möller–Trumbore temporaries — at
+    K=128, R=1024 and a 6 MB scene that is ~48 MB (the old fixed
+    `>12MB -> 100MB` heuristic under-estimated exactly this case and
+    OOMed config 4).  Only raise when needed: an oversized scoped budget
+    measurably degrades the XLA-compiled surrounding loop body."""
+    need = 2 * scene_bytes + 72 * cluster_k * rays_per_tile * 4 + (1 << 20)
+    if need <= 14 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(int(need * 1.25), 120 * 1024 * 1024)
+    )
+
+
 def _cluster_kernel(
     aabb_ref,    # SMEM [C,8] f32: minx,miny,minz,maxx,maxy,maxz,pad,pad
     order_ref,   # SMEM [8,C] i32: front-to-back cluster order per octant
@@ -359,11 +377,7 @@ def occluded_clusters_pallas(
         ],
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((1, r), jnp.int32)],
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if tris16.size * 4 + 16 * r * (k + 8) > 12 * 1024 * 1024
-            else None
-        ),
+        compiler_params=_vmem_params(tris16.size * 4, r, k),
         interpret=interpret,
     )(aabbs, order, rays, tris16)[0]
     return occ[0, :n] > 0
@@ -597,6 +611,7 @@ def intersect_clusters_pallas_streamed(
             pltpu.VMEM((1, r), jnp.float32),
             pltpu.VMEM((1, r), jnp.float32),
         ],
+        compiler_params=_vmem_params(cb * k * 16 * 4, r, k),
         interpret=interpret,
     )(aabbs, rays, tris16)
     return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
@@ -693,16 +708,7 @@ def intersect_clusters_pallas(
             pltpu.VMEM((1, r), jnp.float32),
             pltpu.VMEM((1, r), jnp.float32),
         ],
-        # Scene clusters + double-buffered blocks + (K,R) temporaries can
-        # exceed the 16MB default scoped-vmem budget at ~50k triangles —
-        # but only raise the budget when actually needed: an oversized
-        # scoped-vmem limit measurably degrades the XLA-compiled rest of
-        # the surrounding loop body (fusions lose VMEM headroom).
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if tris16.size * 4 + 16 * r * (k + 8) > 12 * 1024 * 1024
-            else None
-        ),
+        compiler_params=_vmem_params(tris16.size * 4, r, k),
         interpret=interpret,
     )(aabbs, order, rays, tris16)
     return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
