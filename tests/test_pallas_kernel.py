@@ -149,3 +149,59 @@ def test_streamed_kernel_matches_brute(clustered):
         np.asarray(buv)[hit], np.asarray(hb.bary)[hit], rtol=1e-4, atol=1e-6
     )
     assert hit.sum() > 40
+
+
+def test_octant_sort_roundtrip_and_kernel_equivalence(clustered):
+    """octant_sort + interpret-mode kernel + restore == unsorted kernel ==
+    brute: the permutation must be a bijection and per-ray results must
+    land back on their source lanes."""
+    from tpu_pathtracer.ops.intersect_pallas import octant_sort
+
+    rs = np.random.RandomState(2)
+    n = 256
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+
+    o_s, d_s, restore = octant_sort(o, d)
+    # sorted keys are non-decreasing and the permutation restores inputs
+    key = lambda dd: (
+        (np.asarray(dd)[:, 0] > 0).astype(int)
+        + 2 * (np.asarray(dd)[:, 1] > 0).astype(int)
+        + 4 * (np.asarray(dd)[:, 2] > 0).astype(int)
+    )
+    assert (np.diff(key(d_s)) >= 0).all()
+    np.testing.assert_array_equal(np.asarray(restore(o_s)), np.asarray(o))
+    np.testing.assert_array_equal(np.asarray(restore(d_s)), np.asarray(d))
+
+    bt_s, prim_s, buv_s = run_kernel(clustered, o_s, d_s)
+    bt = np.asarray(restore(jnp.asarray(bt_s)))
+    prim = np.asarray(restore(jnp.asarray(prim_s)))
+    buv = np.asarray(restore(jnp.asarray(buv_s)))
+    hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+    hit = prim >= 0
+    np.testing.assert_allclose(bt[hit], np.asarray(hb.t)[hit], rtol=1e-5)
+    np.testing.assert_allclose(
+        buv[hit], np.asarray(hb.bary)[hit], rtol=1e-4, atol=1e-6
+    )
+
+
+def test_spatial_sort_roundtrip(clustered):
+    """(origin Morton, octant) key: still a bijection that restores
+    per-ray results; keys are spatial-major non-decreasing."""
+    from tpu_pathtracer.ops.intersect_pallas import octant_sort
+
+    rs = np.random.RandomState(5)
+    n = 200
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    o_s, d_s, restore = octant_sort(
+        o, d, scene_lo=acc.scene_lo, scene_hi=acc.scene_hi, spatial_bits=5
+    )
+    np.testing.assert_array_equal(np.asarray(restore(o_s)), np.asarray(o))
+    np.testing.assert_array_equal(np.asarray(restore(d_s)), np.asarray(d))
+    bt_s, prim_s, _ = run_kernel(clustered, o_s, d_s)
+    prim = np.asarray(restore(jnp.asarray(prim_s)))
+    hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))

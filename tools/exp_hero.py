@@ -19,9 +19,13 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--spp", type=int, default=10)
     ap.add_argument("--depth", type=int, default=8)
-    ap.add_argument("--rays-per-tile", type=int, default=512)
-    ap.add_argument("--fifo-depth", type=int, default=3)
-    ap.add_argument("--flush-every", type=int, default=16)
+    # Defaults mirror RenderConfig so an unflagged run measures the
+    # shipped configuration.
+    ap.add_argument("--rays-per-tile", type=int, default=1024)
+    ap.add_argument("--fifo-depth", type=int, default=4)
+    ap.add_argument("--flush-every", type=int, default=32)
+    ap.add_argument("--sort-rays", default="auto",
+                    choices=["auto", "off", "octant", "spatial"])
     ap.add_argument("--deferred", action="store_true")
     ap.add_argument("--chunk-div", type=int, default=4)
     ap.add_argument("--scene", default="suitcase",
@@ -75,6 +79,7 @@ def main():
         pallas_rays_per_tile=args.rays_per_tile,
         fifo_depth=args.fifo_depth, flush_every=args.flush_every,
         deferred_shade=args.deferred, deferred_chunk_div=args.chunk_div,
+        sort_rays=args.sort_rays,
     )
     cam = camera_arrays(
         Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg
@@ -91,7 +96,7 @@ def main():
         f"scene={args.scene} depth={args.depth} "
         f"lanes={args.lanes} cluster={args.cluster_size} rpt={args.rays_per_tile} "
         f"fifo={args.fifo_depth}/{args.flush_every} "
-        f"deferred={int(args.deferred)}/{args.chunk_div} "
+        f"deferred={int(args.deferred)}/{args.chunk_div} sort={args.sort_rays} "
         f"spp={args.spp}: {dt:.3f} s/launch"
     )
 

@@ -42,6 +42,30 @@ class ClusterAccel:
     def num_clusters(self) -> int:
         return self.aabb_min.shape[0]
 
+    def _want_sort(self, cfg) -> str:
+        """Resolve cfg.sort_rays to the concrete mode for this scene:
+        "" (off), "octant", or "spatial" (see config.sort_rays)."""
+        if self.num_clusters * self.cluster_size >= (1 << 24):
+            # prim ids travel through an exact-f32 packed row after the
+            # sorted kernel; ids must stay below 2^24.
+            return ""
+        if cfg.sort_rays in ("octant", "spatial"):
+            return cfg.sort_rays
+        if cfg.sort_rays == "off" or self.num_clusters < 48:
+            return ""
+        return "octant" if self.num_clusters < 256 else "spatial"
+
+    def _sorted_rays(self, mode, origins, directions):
+        from tpu_pathtracer.ops.intersect_pallas import octant_sort
+
+        return octant_sort(
+            origins,
+            directions,
+            scene_lo=self.scene_lo,
+            scene_hi=self.scene_hi,
+            spatial_bits=5 if mode == "spatial" else 0,
+        )
+
     def intersect(self, vertices, origins, directions, t_min, t_max, cfg) -> Hit:
         """Closest hit over all clusters.
 
@@ -52,17 +76,21 @@ class ClusterAccel:
         """
         vmem_bytes = self.tris16.size * 4
         if cfg.use_pallas and jax.default_backend() == "tpu":
+            # Octant-sorted packets cull dramatically better on
+            # multi-cluster scenes (every lane then agrees with the
+            # packet's front-to-back visit order); ~1 ms of sort+gather
+            # overhead (ops/intersect_pallas.octant_sort), so "auto"
+            # skips it for small scenes where packets are cheap anyway.
+            sort = self._want_sort(cfg)
+            if sort:
+                origins, directions, restore = self._sorted_rays(
+                    sort, origins, directions
+                )
             if vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
                     intersect_clusters_pallas,
                 )
 
-                # No ray sort: the wavefront's lane order is already
-                # packet-coherent (neighbouring lanes = neighbouring
-                # pixels, and the stream queue hands out pixels in
-                # order), and a (origin cell, octant) sort + permute
-                # measured ~8 ms per 256k-lane bounce on v5e — more than
-                # its culling buys back.
                 best_t, best_prim, bary = intersect_clusters_pallas(
                     self.tris16,
                     self.aabb8,
@@ -89,9 +117,33 @@ class ClusterAccel:
                     t_min=float(t_min),
                     t_max=float(t_max),
                 )
+            if sort:
+                # Un-permute via ONE small-table gather (pack the four
+                # per-ray outputs into one row; scatters cost 13x more).
+                # prim travels as an exact small float (< 2^24 triangles),
+                # NOT a bitcast: the 0x7FFFFFFF miss marker bitcast to f32
+                # is a NaN payload, and the TPU float datapath CANONICALISES
+                # NaN payloads in copies — every marker came back as a
+                # different NaN, every lane read as "hit", and the whole
+                # frame went black (caught by a /verify TPU render;
+                # interpret mode preserves payloads, so CPU tests passed).
+                primf = jnp.where(
+                    best_prim == jnp.int32(0x7FFFFFFF),
+                    jnp.float32(-1.0),
+                    best_prim.astype(jnp.float32),
+                )
+                packed = jnp.concatenate(
+                    [best_t[:, None], primf[:, None], bary], axis=-1
+                )
+                packed = restore(packed)
+                best_t = packed[:, 0]
+                best_prim = packed[:, 1].astype(jnp.int32)   # -1 = miss
+                bary = packed[:, 2:4]
+                hit = best_prim >= 0
+            else:
+                hit = best_prim < jnp.int32(0x7FFFFFFF)
             # The kernel carries the winner's (t, prim, bary), so the Hit
             # assembles with zero per-lane gathers (no finalize pass).
-            hit = best_prim < jnp.int32(0x7FFFFFFF)
             return Hit(
                 t=best_t,
                 prim=jnp.where(hit, best_prim, -1),
@@ -110,28 +162,35 @@ class ClusterAccel:
         Pallas kernel early-exits once a packet is fully occluded."""
         vmem_bytes = self.tris16.size * 4
         if cfg.use_pallas and jax.default_backend() == "tpu":
+            sort = self._want_sort(cfg)
+            if sort:
+                origins, directions, restore = self._sorted_rays(
+                    sort, origins, directions
+                )
             if vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
                     occluded_clusters_pallas,
                 )
 
-                return occluded_clusters_pallas(
+                occ = occluded_clusters_pallas(
                     self.tris16, self.aabb8, self.order, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=cfg.pallas_rays_per_tile,
                 )
-            # Big scene: the streamed closest-hit kernel still beats the
-            # XLA scan; any-hit early exit is lost but the result is the
-            # same occlusion predicate.
-            from tpu_pathtracer.ops.intersect_pallas import (
-                intersect_clusters_pallas_streamed,
-            )
+            else:
+                # Big scene: the streamed closest-hit kernel still beats
+                # the XLA scan; any-hit early exit is lost but the result
+                # is the same occlusion predicate.
+                from tpu_pathtracer.ops.intersect_pallas import (
+                    intersect_clusters_pallas_streamed,
+                )
 
-            _, best_prim, _ = intersect_clusters_pallas_streamed(
-                self.tris16, self.aabb8, origins, directions,
-                t_min=float(t_min), t_max=float(t_max),
-            )
-            return best_prim < jnp.int32(0x7FFFFFFF)
+                _, best_prim, _ = intersect_clusters_pallas_streamed(
+                    self.tris16, self.aabb8, origins, directions,
+                    t_min=float(t_min), t_max=float(t_max),
+                )
+                occ = best_prim < jnp.int32(0x7FFFFFFF)
+            return restore(occ) if sort else occ
         return self._occluded_xla(vertices, origins, directions, t_min, t_max)
 
     def _occluded_xla(self, vertices, origins, directions, t_min, t_max) -> jnp.ndarray:

@@ -115,6 +115,23 @@ class RenderConfig:
     # (monkey 15.7k tris: 1.60 vs 1.11 Mrays/s end-to-end on v5e); small
     # scenes route to brute via intersector="auto" regardless.
     use_pallas: bool = True
+    # Octant-sort rays before the Pallas packet kernels.  Packets whose
+    # rays share a direction octant cull clusters far better (the
+    # per-packet front-to-back order is then correct for every lane):
+    # mixed bounce packets on the 123-cluster monkey scene test ~72 of
+    # 123 clusters; sorted packets cut that severalfold.  Cost is tiny
+    # done right: lax.sort_key_val @131k = 0.07 ms, permute-in and
+    # restore are single gathers from small (VMEM-staged) tables, ~1 ms
+    # total — the round-1 "~8 ms sort" verdict was a scatter-based
+    # permutation, obsoleted by the gather/scatter cost model
+    # (docs/perf_notes.md).  "spatial" sorts by (origin Morton cell,
+    # octant) instead — spread-out many-cluster scenes diverge by
+    # POSITION, and a pure octant sort interleaves rays from the whole
+    # frame (measured: monkey 6.06 -> 4.33 s with octant; the 766-cluster
+    # sphere-field 23.2 -> 29.8 s, i.e. octant HURTS there).  "auto"
+    # picks per scene: off under 48 clusters, octant under 256, spatial
+    # above.
+    sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
     # Deferred (hit-compacted) shading: instead of running the closest-hit
     # program on every lane (miss lanes pay the texture-bundle gather and
     # the full GGX math for nothing — ~60% of traced segments are misses
@@ -154,6 +171,8 @@ class RenderConfig:
             raise ValueError(f"invalid intersector: {self.intersector!r}")
         if self.pixel_order not in ("auto", "scanline", "tiled"):
             raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")
+        if self.sort_rays not in ("auto", "off", "octant", "spatial"):
+            raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
         if self.pixel_order == "tiled" and (
             self.width % 16 or self.height % 8
         ):

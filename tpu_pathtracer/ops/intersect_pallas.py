@@ -44,13 +44,15 @@ def _vmem_params(scene_bytes: int, rays_per_tile: int, cluster_k: int):
     """CompilerParams with an explicit scoped-VMEM budget when the kernel
     won't fit the 16 MB default.
 
-    Measured need (Mosaic, v5e): ~2x the resident scene block (double
-    buffering) plus ~70 live (K,R) f32 Möller–Trumbore temporaries — at
-    K=128, R=1024 and a 6 MB scene that is ~48 MB (the old fixed
-    `>12MB -> 100MB` heuristic under-estimated exactly this case and
-    OOMed config 4).  Only raise when needed: an oversized scoped budget
-    measurably degrades the XLA-compiled surrounding loop body."""
-    need = 2 * scene_bytes + 72 * cluster_k * rays_per_tile * 4 + (1 << 20)
+    Measured need (Mosaic, v5e): a 5.98 MB cluster operand demands a
+    47.9 MB scoped allocation at BOTH R=256 and R=1024 — i.e. the stack
+    is dominated by ~8x the scene bytes (Mosaic staging/layout copies of
+    the [C,K,16] operand), plus (K,R) Möller–Trumbore temporaries.  The
+    old fixed `>12MB -> 100MB` heuristic under-estimated exactly this
+    case and OOMed config 4.  Only raise above the 16 MB default when
+    needed: an oversized scoped budget measurably degrades the
+    XLA-compiled surrounding loop body."""
+    need = 8 * scene_bytes + 40 * cluster_k * rays_per_tile * 4 + (2 << 20)
     if need <= 14 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(
@@ -615,6 +617,73 @@ def intersect_clusters_pallas_streamed(
         interpret=interpret,
     )(aabbs, rays, tris16)
     return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
+
+
+def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits of v so bit i lands at bit 3i (3-D Morton)."""
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def octant_sort(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    scene_lo=None,
+    scene_hi=None,
+    spatial_bits: int = 0,
+):
+    """Sort rays by direction octant (optionally spatial-major); returns
+    (origins_s, directions_s, restore) where restore(x) un-permutes
+    per-ray results (first axis).
+
+    spatial_bits > 0 prepends a `spatial_bits`-per-axis Morton code of
+    the ray origin (normalized to [scene_lo, scene_hi]) ABOVE the octant
+    bits: packets become spatially tight first, octant-pure second —
+    what large spread-out scenes want (their divergence is positional;
+    a pure octant sort interleaves rays from the whole frame and LOSES
+    the queue's pixel coherence).  Compact scenes want the pure octant
+    key (spatial_bits=0): all clusters overlap anyway, direction purity
+    is what makes the front-to-back order cull.  The sort is stable, so
+    ties preserve the queue's pixel order either way.
+
+    Cost model (v5e, 131k rays): lax.sort_key_val 0.07 ms; the permute-in
+    is ONE gather of packed [N,8] rows (a per-batch table well under the
+    ~16 MB VMEM-staging cliff, ~2.7 ns/row); restore is the same trick
+    with the inverse permutation (obtained by sorting the permutation —
+    cheaper than a ~40 ns/row scatter).  Total ~1 ms.
+    """
+    n = origins.shape[0]
+    key = (
+        (directions[:, 0] > 0).astype(jnp.uint32)
+        + 2 * (directions[:, 1] > 0).astype(jnp.uint32)
+        + 4 * (directions[:, 2] > 0).astype(jnp.uint32)
+    )
+    if spatial_bits:
+        lo = jnp.asarray(scene_lo, jnp.float32)
+        span = jnp.maximum(jnp.asarray(scene_hi, jnp.float32) - lo, 1e-6)
+        cells = jnp.float32((1 << spatial_bits) - 1)
+        q = jnp.clip((origins - lo) / span, 0.0, 1.0) * cells
+        qi = q.astype(jnp.uint32)
+        morton = (
+            _part1by2(qi[:, 0])
+            | (_part1by2(qi[:, 1]) << 1)
+            | (_part1by2(qi[:, 2]) << 2)
+        )
+        key = key | (morton << 3)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, iota)       # slot -> lane
+    _, inv = jax.lax.sort_key_val(perm, iota)       # lane -> slot
+    packed = jnp.concatenate(
+        [origins, directions, jnp.zeros((n, 2), origins.dtype)], axis=-1
+    )
+    rows = packed[perm]                              # ONE gather
+    def restore(x):
+        return x[inv]
+    return rows[:, 0:3], rows[:, 3:6], restore
 
 
 def octant_orders(aabbs: np.ndarray) -> np.ndarray:

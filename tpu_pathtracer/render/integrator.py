@@ -335,20 +335,12 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
 # Deferred (hit-compacted) shading
 # ---------------------------------------------------------------------------
 
-_PACK_IN_COLS = 16   # origin 3, direction 3, seeds 1, depth 1, t 1, prim 1, bary 2
-_PACK_OUT_COLS = 16  # new_origin 3, new_direction 3, att_factor 3, emission 3, seeds 1, flags 1
-
-
-def _bitcast_f(x):
-    return jax.lax.bitcast_convert_type(x, jnp.float32)
-
-
-def _bitcast_i(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-
-def _bitcast_u(x):
-    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+# f32 rows: origin 3, direction 3, depth 1, t 1, prim 1, bary 2 (ints ride
+# as exact small floats — NEVER bitcast: arbitrary int bit patterns are
+# NaN payloads, which the TPU float datapath canonicalises in copies).
+# Seeds are full-range u32 and travel in a separate integer-typed table.
+_PACK_IN_COLS = 16
+_PACK_OUT_COLS = 16  # new_origin 3, new_direction 3, att_factor 3, emission 3, flags 1
 
 
 def _shade_deferred(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds, depth):
@@ -401,29 +393,29 @@ def _shade_deferred(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directio
             [
                 origins,
                 directions,
-                _bitcast_f(seeds)[:, None],
-                _bitcast_f(depth)[:, None],
+                depth.astype(jnp.float32)[:, None],
                 hit.t[:, None],
-                _bitcast_f(hit.prim)[:, None],
+                jnp.maximum(hit.prim, 0).astype(jnp.float32)[:, None],
                 hit.bary,
-                jnp.zeros((n, _PACK_IN_COLS - 12), jnp.float32),
+                jnp.zeros((n, _PACK_IN_COLS - 11), jnp.float32),
             ],
             axis=-1,
         )
     )
+    seeds_in = jnp.zeros((n + 1, 1), jnp.uint32).at[:n, 0].set(seeds)
 
     def chunk(carry):
-        k, out_buf = carry
+        k, out_buf, seeds_buf = carry
         idx = jax.lax.dynamic_slice(lane_of_slot, (k * c,), (c,))   # [C]
         rows = packed_in[idx]                                       # [C,16]
+        s_c = seeds_in[idx, 0]
         o_c = rows[:, 0:3]
         d_c = rows[:, 3:6]
-        s_c = _bitcast_u(rows[:, 6])
-        dep_c = _bitcast_i(rows[:, 7])
+        dep_c = rows[:, 6].astype(jnp.int32)
         hit_c = Hit(
-            t=rows[:, 8],
-            prim=_bitcast_i(rows[:, 9]),
-            bary=rows[:, 10:12],
+            t=rows[:, 7],
+            prim=rows[:, 8].astype(jnp.int32),
+            bary=rows[:, 9:11],
             hit=idx < n,
         )
         sh = _shade(scene, cfg, hit_c, o_c, d_c, s_c, dep_c)
@@ -439,28 +431,29 @@ def _shade_deferred(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directio
                 sh["new_direction"],
                 sh["att_factor"],
                 sh["emission"],
-                _bitcast_f(sh["seeds"])[:, None],
-                _bitcast_f(flags)[:, None],
-                jnp.zeros((c, _PACK_OUT_COLS - 14), jnp.float32),
+                flags.astype(jnp.float32)[:, None],
+                jnp.zeros((c, _PACK_OUT_COLS - 13), jnp.float32),
             ],
             axis=-1,
         )
         # Garbage tail slots carry idx == n -> land on the sink row.
         out_buf = out_buf.at[idx].set(packed_out)
-        return k + 1, out_buf
+        seeds_buf = seeds_buf.at[idx, 0].set(sh["seeds"])
+        return k + 1, out_buf, seeds_buf
 
     out0 = jnp.zeros((n + 1, _PACK_OUT_COLS), jnp.float32)
-    _, out_buf = jax.lax.while_loop(
-        lambda kc: kc[0] * c < n_hit, chunk, (jnp.int32(0), out0)
+    seeds0 = jnp.zeros((n + 1, 1), jnp.uint32)
+    _, out_buf, seeds_buf = jax.lax.while_loop(
+        lambda kc: kc[0] * c < n_hit, chunk, (jnp.int32(0), out0, seeds0)
     )
     out = out_buf[:n]
-    flags = _bitcast_i(out[:, 13])
+    flags = out[:, 12].astype(jnp.int32)
     return dict(
         new_origin=out[:, 0:3],
         new_direction=out[:, 3:6],
         att_factor=out[:, 6:9],
         emission=out[:, 9:12],
-        seeds=_bitcast_u(out[:, 12]),
+        seeds=seeds_buf[:n, 0],
         att_ok=(flags & 1) > 0,
         emissive=(flags & 2) > 0,
         degenerate=(flags & 4) > 0,
