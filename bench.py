@@ -148,8 +148,13 @@ def main() -> int:
     cam = camera_arrays(camera.with_aspect(cfg.width, cfg.height), cfg)
 
     # Compile + warm up (float() readback = the only reliable device sync
-    # on axon).
-    float(render_frame(scene, cam, cfg, jnp.int32(0)).sum())
+    # on axon).  Gate on non-black output: a silently broken kernel path
+    # renders black AND terminates paths instantly, making every timing
+    # look fantastic (see docs/perf_notes.md, TPU NaN-payload hazard).
+    warm = render_frame(scene, cam, cfg, jnp.int32(0))
+    if not (float(warm.max()) > 0.0):
+        print(json.dumps({"error": "black render — refusing to benchmark"}))
+        return 1
 
     # Traced-ray accounting from inside the actual render schedule
     # (render_frame_stats), including NEE shadow rays.

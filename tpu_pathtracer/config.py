@@ -127,10 +127,11 @@ class RenderConfig:
     # (docs/perf_notes.md).  "spatial" sorts by (origin Morton cell,
     # octant) instead — spread-out many-cluster scenes diverge by
     # POSITION, and a pure octant sort interleaves rays from the whole
-    # frame (measured: monkey 6.06 -> 4.33 s with octant; the 766-cluster
-    # sphere-field 23.2 -> 29.8 s, i.e. octant HURTS there).  "auto"
-    # picks per scene: off under 48 clusters, octant under 256, spatial
-    # above.
+    # frame.  Measured (v5e): monkey 6.06 -> 4.03 (octant) -> 3.32 s
+    # (spatial); tower 2.41 -> 2.35 (spatial); 766-cluster sphere field
+    # 23.2 -> 10.5 (spatial; octant HURTS there, 29.8).  "auto" = off
+    # under 48 clusters (suitcase-sized scenes don't repay the ~1 ms),
+    # spatial otherwise.
     sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
     # Deferred (hit-compacted) shading: instead of running the closest-hit
     # program on every lane (miss lanes pay the texture-bundle gather and
