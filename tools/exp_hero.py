@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--flush-every", type=int, default=32)
     ap.add_argument("--sort-rays", default="auto",
                     choices=["auto", "off", "octant", "spatial"])
+    ap.add_argument("--spatial-bits", type=int, default=5)
     ap.add_argument("--deferred", action="store_true")
     ap.add_argument("--chunk-div", type=int, default=4)
     ap.add_argument("--scene", default="suitcase",
@@ -79,7 +80,7 @@ def main():
         pallas_rays_per_tile=args.rays_per_tile,
         fifo_depth=args.fifo_depth, flush_every=args.flush_every,
         deferred_shade=args.deferred, deferred_chunk_div=args.chunk_div,
-        sort_rays=args.sort_rays,
+        sort_rays=args.sort_rays, sort_spatial_bits=args.spatial_bits,
     )
     cam = camera_arrays(
         Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg
@@ -96,7 +97,8 @@ def main():
         f"scene={args.scene} depth={args.depth} "
         f"lanes={args.lanes} cluster={args.cluster_size} rpt={args.rays_per_tile} "
         f"fifo={args.fifo_depth}/{args.flush_every} "
-        f"deferred={int(args.deferred)}/{args.chunk_div} sort={args.sort_rays} "
+        f"deferred={int(args.deferred)}/{args.chunk_div} "
+        f"sort={args.sort_rays}/{args.spatial_bits} "
         f"spp={args.spp}: {dt:.3f} s/launch"
     )
 

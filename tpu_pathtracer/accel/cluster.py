@@ -58,7 +58,7 @@ class ClusterAccel:
         # small scenes (suitcase, 18 clusters) don't repay the ~1 ms.
         return "spatial"
 
-    def _sorted_rays(self, mode, origins, directions):
+    def _sorted_rays(self, mode, origins, directions, cfg):
         from tpu_pathtracer.ops.intersect_pallas import octant_sort
 
         return octant_sort(
@@ -66,7 +66,7 @@ class ClusterAccel:
             directions,
             scene_lo=self.scene_lo,
             scene_hi=self.scene_hi,
-            spatial_bits=5 if mode == "spatial" else 0,
+            spatial_bits=cfg.sort_spatial_bits if mode == "spatial" else 0,
         )
 
     def intersect(self, vertices, origins, directions, t_min, t_max, cfg) -> Hit:
@@ -87,7 +87,7 @@ class ClusterAccel:
             sort = self._want_sort(cfg)
             if sort:
                 origins, directions, restore = self._sorted_rays(
-                    sort, origins, directions
+                    sort, origins, directions, cfg
                 )
             if vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
@@ -168,7 +168,7 @@ class ClusterAccel:
             sort = self._want_sort(cfg)
             if sort:
                 origins, directions, restore = self._sorted_rays(
-                    sort, origins, directions
+                    sort, origins, directions, cfg
                 )
             if vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (

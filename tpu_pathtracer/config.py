@@ -133,6 +133,8 @@ class RenderConfig:
     # under 48 clusters (suitcase-sized scenes don't repay the ~1 ms),
     # spatial otherwise.
     sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
+    # Morton bits per axis for the spatial key (cells = 2^bits per axis).
+    sort_spatial_bits: int = 5
     # Deferred (hit-compacted) shading: instead of running the closest-hit
     # program on every lane (miss lanes pay the texture-bundle gather and
     # the full GGX math for nothing — ~60% of traced segments are misses
