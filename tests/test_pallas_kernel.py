@@ -205,3 +205,39 @@ def test_spatial_sort_roundtrip(clustered):
     prim = np.asarray(restore(jnp.asarray(prim_s)))
     hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
     np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+
+
+def test_hier_kernel_matches_brute():
+    """Two-level (supercluster) kernel vs brute on a many-cluster scene:
+    cluster_size=8 over the three-spheres scene yields ~200 clusters /
+    ~25 supers, exercising partial groups and inverted pads."""
+    from tpu_pathtracer.ops.intersect_pallas import (
+        intersect_clusters_pallas_hier,
+    )
+
+    scene = build_accel(
+        three_spheres_scene(stacks=10, slices=20), kind="cluster",
+        cluster_size=8,
+    )
+    acc = scene.accel
+    assert acc.num_clusters >= 100
+    rs = np.random.RandomState(4)
+    n = 256
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    bt, bp, buv = intersect_clusters_pallas_hier(
+        acc.tris16, acc.aabb8_child, acc.aabb8_super, acc.order_super,
+        o, d, 0.01, 1e16, rays_per_tile=128, branch=acc.super_branch,
+        interpret=True,
+    )
+    prim = np.where(np.asarray(bp) == 0x7FFFFFFF, -1, np.asarray(bp))
+    hb = intersect_brute(scene.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+    hit = prim >= 0
+    np.testing.assert_allclose(
+        np.asarray(bt)[hit], np.asarray(hb.t)[hit], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(buv)[hit], np.asarray(hb.bary)[hit], rtol=1e-4, atol=1e-6
+    )
+    assert hit.sum() > 50

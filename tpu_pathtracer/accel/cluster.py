@@ -35,8 +35,15 @@ class ClusterAccel:
     order: jnp.ndarray      # [8,C] i32
     scene_lo: jnp.ndarray   # [3] f32
     scene_hi: jnp.ndarray   # [3] f32
+    # Two-level (supercluster) arrays: groups of `super_branch` Morton-
+    # consecutive clusters with their own bounds and per-octant visit
+    # order; child bounds padded to S*branch rows (pads inverted).
+    aabb8_child: jnp.ndarray = None   # [S*B,8] f32
+    aabb8_super: jnp.ndarray = None   # [S,8] f32
+    order_super: jnp.ndarray = None   # [8,S] i32
     # static metadata
     cluster_size: int = struct.field(pytree_node=False, default=128)
+    super_branch: int = struct.field(pytree_node=False, default=8)
 
     @property
     def num_clusters(self) -> int:
@@ -89,7 +96,32 @@ class ClusterAccel:
                 origins, directions, restore = self._sorted_rays(
                     sort, origins, directions, cfg
                 )
-            if vmem_bytes <= 6 * 1024 * 1024:
+            if (
+                vmem_bytes <= 6 * 1024 * 1024
+                and self.num_clusters >= 192
+                and self.aabb8_super is not None
+            ):
+                # Many clusters: two-level traversal — one scalar slab
+                # test skips super_branch clusters at a time (the flat
+                # kernel's cost there is per-cluster scalar loop
+                # overhead, not triangle math).
+                from tpu_pathtracer.ops.intersect_pallas import (
+                    intersect_clusters_pallas_hier,
+                )
+
+                best_t, best_prim, bary = intersect_clusters_pallas_hier(
+                    self.tris16,
+                    self.aabb8_child,
+                    self.aabb8_super,
+                    self.order_super,
+                    origins,
+                    directions,
+                    t_min=float(t_min),
+                    t_max=float(t_max),
+                    rays_per_tile=cfg.pallas_rays_per_tile,
+                    branch=self.super_branch,
+                )
+            elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
                     intersect_clusters_pallas,
                 )
@@ -349,6 +381,20 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128) -> Cluste
     aabb8[:, 0:3] = amin
     aabb8[:, 3:6] = amax
 
+    # Supercluster level: groups of `branch` Morton-consecutive clusters.
+    branch = 8
+    s = -(-c // branch)
+    child = np.zeros((s * branch, 8), np.float32)
+    child[:, 0:3] = 1.0      # inverted pads: min > max, never overlap
+    child[:, 3:6] = -1.0
+    child[:c] = aabb8
+    super8 = np.zeros((s, 8), np.float32)
+    super8[:, 0:3] = child[:, 0:3].reshape(s, branch, 3).min(axis=1)
+    super8[:, 3:6] = child[:, 3:6].reshape(s, branch, 3).max(axis=1)
+    # Pads in a partial final group have inverted boxes; min/max over the
+    # group still yields the real children's bounds unless the group is
+    # ALL pads (cannot happen: s = ceil(c/branch)).
+
     flat = vertices.reshape(-1, 3) if t_count else np.zeros((1, 3), np.float32)
     return ClusterAccel(
         aabb_min=jnp.asarray(amin, jnp.float32),
@@ -358,5 +404,9 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128) -> Cluste
         order=jnp.asarray(octant_orders(aabb8)),
         scene_lo=jnp.asarray(flat.min(axis=0), jnp.float32),
         scene_hi=jnp.asarray(flat.max(axis=0), jnp.float32),
+        aabb8_child=jnp.asarray(child),
+        aabb8_super=jnp.asarray(super8),
+        order_super=jnp.asarray(octant_orders(super8)),
         cluster_size=cluster_size,
+        super_branch=branch,
     )

@@ -211,6 +211,231 @@ def _cluster_kernel(
     uv_ref[1:2, :] = v_acc[:]
 
 
+def _cluster_kernel_hier(
+    aabbs_s,     # SMEM [S,8] f32: supercluster bounds
+    order_s,     # SMEM [8,S] i32: per-octant front-to-back SUPER order
+    aabb_ref,    # SMEM [S*B,8] f32: child bounds (padding children inverted)
+    rays_ref,    # VMEM (8,R) f32
+    tris_ref,    # VMEM [C,K,16] f32
+    t_ref, prim_ref, uv_ref,
+    t_acc, p_acc, u_acc, v_acc,
+    *,
+    num_supers: int,
+    branch: int,
+    num_clusters: int,
+    cluster_k: int,
+    t_min: float,
+    t_max: float,
+):
+    """Two-level packet traversal: a supercluster (group of `branch`
+    Morton-consecutive clusters) is slab-tested ONCE and skipped with one
+    scalar branch.  At many hundreds of clusters the flat kernel's cost
+    is dominated by per-cluster scalar loop overhead (SMEM reads +
+    branch), not triangle math — the top level cuts visited iterations
+    ~branch-fold for packets that cull well (sorted packets do)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    big = jnp.float32(3.4e38)
+    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+
+    t_acc[:] = jnp.full_like(t_acc, t_max)
+    p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
+    u_acc[:] = jnp.zeros_like(u_acc)
+    v_acc[:] = jnp.zeros_like(v_acc)
+
+    octant = (
+        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
+        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
+        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
+    )
+
+    def slab(ref, idx):
+        bminx = ref[idx, 0]
+        bminy = ref[idx, 1]
+        bminz = ref[idx, 2]
+        bmaxx = ref[idx, 3]
+        bmaxy = ref[idx, 4]
+        bmaxz = ref[idx, 5]
+        tx0 = (bminx - ox) * ix
+        tx1 = (bmaxx - ox) * ix
+        ty0 = (bminy - oy) * iy
+        ty1 = (bmaxy - oy) * iy
+        tz0 = (bminz - oz) * iz
+        tz1 = (bmaxz - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[:])
+
+    def visit_super(pos, _):
+        s = order_s[octant, pos]
+
+        @pl.when(jnp.any(slab(aabbs_s, s)))
+        def _():
+            def visit_child(j, _):
+                c = s * branch + j
+
+                @pl.when(jnp.any(slab(aabb_ref, c)))
+                def _():
+                    # Padding children carry inverted AABBs and never get
+                    # here; clamp anyway so the VMEM read stays in bounds.
+                    tri = tris_ref[jnp.minimum(c, num_clusters - 1)]  # (K,16)
+                    v0x = tri[:, 0:1]
+                    v0y = tri[:, 1:2]
+                    v0z = tri[:, 2:3]
+                    e1x = tri[:, 3:4]
+                    e1y = tri[:, 4:5]
+                    e1z = tri[:, 5:6]
+                    e2x = tri[:, 6:7]
+                    e2y = tri[:, 7:8]
+                    e2z = tri[:, 8:9]
+
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > t_min)
+                        & (t < t_max)
+                    )
+                    tc = jnp.where(ok, t, jnp.float32(jnp.inf))
+                    t_blk = jnp.min(tc, axis=0, keepdims=True)
+                    gid = c * cluster_k + jax.lax.broadcasted_iota(
+                        jnp.int32, tc.shape, 0
+                    )
+                    prim_blk = jnp.min(
+                        jnp.where(tc == t_blk, gid, _BIG_PRIM),
+                        axis=0, keepdims=True,
+                    )
+                    win = gid == prim_blk
+                    u_blk = jnp.min(
+                        jnp.where(win, u, jnp.float32(jnp.inf)),
+                        axis=0, keepdims=True,
+                    )
+                    v_blk = jnp.min(
+                        jnp.where(win, v, jnp.float32(jnp.inf)),
+                        axis=0, keepdims=True,
+                    )
+                    best = t_acc[:]
+                    improved = t_blk < best
+                    t_acc[:] = jnp.where(improved, t_blk, best)
+                    p_acc[:] = jnp.where(improved, prim_blk, p_acc[:])
+                    u_acc[:] = jnp.where(improved, u_blk, u_acc[:])
+                    v_acc[:] = jnp.where(improved, v_blk, v_acc[:])
+
+                return 0
+
+            jax.lax.fori_loop(0, branch, visit_child, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, num_supers, visit_super, 0)
+    t_ref[:] = t_acc[:]
+    prim_ref[:] = p_acc[:]
+    uv_ref[0:1, :] = u_acc[:]
+    uv_ref[1:2, :] = v_acc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rays_per_tile", "branch", "t_min", "t_max", "interpret"),
+)
+def intersect_clusters_pallas_hier(
+    tris16: jnp.ndarray,     # [C,K,16] f32
+    aabbs_child: jnp.ndarray,  # [S*B,8] f32 (padding children inverted)
+    aabbs_super: jnp.ndarray,  # [S,8] f32
+    order_super: jnp.ndarray,  # [8,S] i32
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    rays_per_tile: int = 1024,
+    branch: int = 8,
+    interpret: bool = False,
+):
+    """Two-level closest hit; same returns as intersect_clusters_pallas."""
+    n = origins.shape[0]
+    c, k, _ = tris16.shape
+    s = aabbs_super.shape[0]
+    r = rays_per_tile
+    n_pad = -(-n // r) * r
+
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[0:3, :n].set(origins.T)
+    rays = rays.at[3:6, :n].set(directions.T)
+    if n_pad > n:
+        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
+
+    tiles = n_pad // r
+    kernel = functools.partial(
+        _cluster_kernel_hier,
+        num_supers=s,
+        branch=branch,
+        num_clusters=c,
+        cluster_k=k,
+        t_min=t_min,
+        t_max=t_max,
+    )
+    best_t, best_prim, best_uv = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # super aabbs
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # super orders
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # child aabbs
+            pl.BlockSpec((8, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (c, k, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, r), jnp.float32),
+            pltpu.VMEM((1, r), jnp.int32),
+            pltpu.VMEM((1, r), jnp.float32),
+            pltpu.VMEM((1, r), jnp.float32),
+        ],
+        compiler_params=_vmem_params(tris16.size * 4, r, k),
+        interpret=interpret,
+    )(aabbs_super, order_super, aabbs_child, rays, tris16)
+    return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
+
+
 def _occlusion_kernel(
     aabb_ref,    # SMEM [C,8] f32
     order_ref,   # SMEM [8,C] i32 (front-to-back per octant — visit order
