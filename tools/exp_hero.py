@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--flush-every", type=int, default=32)
     ap.add_argument("--sort-rays", default="auto",
                     choices=["auto", "off", "octant", "spatial"])
-    ap.add_argument("--spatial-bits", type=int, default=5)
+    ap.add_argument("--spatial-bits", type=int, default=0)
+    ap.add_argument("--super-branch", type=int, default=8)
     ap.add_argument("--deferred", action="store_true")
     ap.add_argument("--chunk-div", type=int, default=4)
     ap.add_argument("--scene", default="suitcase",
@@ -65,13 +66,15 @@ def main():
         scene = build_accel(
             high_poly_scene(total_tris=100_000).replace(env=env),
             kind="cluster", cluster_size=args.cluster_size,
+            super_branch=args.super_branch,
         )
         cam_args = dict(eye=(0, 3, 10), lookat=(0, 1, 0))
     else:
         scene = load_scene(
             [f"{ref}/{f}" for f in files],
             scale=scale, env=env, rng_seed=0, accel="cluster",
-            accel_kw={"cluster_size": args.cluster_size},
+            accel_kw={"cluster_size": args.cluster_size,
+                      "super_branch": args.super_branch},
         )
     cfg = RenderConfig(
         width=1920, height=1080, samples_per_launch=args.spp,

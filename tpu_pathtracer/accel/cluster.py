@@ -68,12 +68,15 @@ class ClusterAccel:
     def _sorted_rays(self, mode, origins, directions, cfg):
         from tpu_pathtracer.ops.intersect_pallas import octant_sort
 
+        bits = cfg.sort_spatial_bits
+        if bits == 0:   # auto: finer cells for compact scenes
+            bits = 7 if self.num_clusters < 256 else 5
         return octant_sort(
             origins,
             directions,
             scene_lo=self.scene_lo,
             scene_hi=self.scene_hi,
-            spatial_bits=cfg.sort_spatial_bits if mode == "spatial" else 0,
+            spatial_bits=bits if mode == "spatial" else 0,
         )
 
     def intersect(self, vertices, origins, directions, t_min, t_max, cfg) -> Hit:
@@ -360,7 +363,7 @@ class ClusterAccel:
         )
 
 
-def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128) -> ClusterAccel:
+def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128, super_branch: int = 8) -> ClusterAccel:
     """Build cluster AABBs over Morton-permuted [T,3,3] vertices."""
     t_count = vertices.shape[0]
     c = max(1, -(-t_count // cluster_size))
@@ -382,7 +385,7 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128) -> Cluste
     aabb8[:, 3:6] = amax
 
     # Supercluster level: groups of `branch` Morton-consecutive clusters.
-    branch = 8
+    branch = super_branch
     s = -(-c // branch)
     child = np.zeros((s * branch, 8), np.float32)
     child[:, 0:3] = 1.0      # inverted pads: min > max, never overlap

@@ -134,7 +134,10 @@ class RenderConfig:
     # spatial otherwise.
     sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
-    sort_spatial_bits: int = 5
+    # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,
+    # tower 2.35->2.29 s), 5 for spread ones (766-cluster field: 8.2 vs
+    # 9.0 s at bits 7 — finer cells over-fragment the queue order there).
+    sort_spatial_bits: int = 0
     # Deferred (hit-compacted) shading: instead of running the closest-hit
     # program on every lane (miss lanes pay the texture-bundle gather and
     # the full GGX math for nothing — ~60% of traced segments are misses
