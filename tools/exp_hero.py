@@ -21,7 +21,7 @@ def main():
     ap.add_argument("--depth", type=int, default=8)
     # Defaults mirror RenderConfig so an unflagged run measures the
     # shipped configuration.
-    ap.add_argument("--rays-per-tile", type=int, default=1024)
+    ap.add_argument("--rays-per-tile", type=int, default=0)
     ap.add_argument("--fifo-depth", type=int, default=4)
     ap.add_argument("--flush-every", type=int, default=32)
     ap.add_argument("--sort-rays", default="auto",

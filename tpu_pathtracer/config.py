@@ -152,8 +152,11 @@ class RenderConfig:
     # Rays per Pallas packet (grid tile).  Smaller packets cull clusters
     # more precisely (the per-packet slab test unions fewer rays); bigger
     # packets amortise per-grid-step overhead.  Sweep on the hero scene:
-    # 256: 2.65, 512: 2.45, 1024: 2.38, 2048: 3.27 s/launch.
-    pallas_rays_per_tile: int = 1024
+    # 256: 2.65, 512: 2.45, 1024: 2.38, 2048: 3.27 s/launch — but under
+    # the two-level kernel finer packets win again (sphere field 7.6 at
+    # 512 vs 8.2 at 1024).  0 = auto: 512 on hier-kernel scenes
+    # (>= 192 clusters), 1024 otherwise.
+    pallas_rays_per_tile: int = 0
     # Streaming renderer: retire-FIFO depth per lane and flush cadence
     # (iterations between batched output scatters).  Scatter-add costs
     # ~40 ns per scattered ROW on v5e (sink rows included — see
