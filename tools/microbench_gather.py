@@ -185,11 +185,67 @@ def main():
                 )
 
 
+
+
+def main4():
+    """Decode-cost experiment for the 8-col channel-packed bundle: is the
+    ~1.5 ms above the raw-gather floor the byte-decode chain, the [N,8]
+    column slicing, or the index math?"""
+    n = 131072
+    rows = 4_194_304
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, rows, n), jnp.int32)
+    base = rng.integers(0, 2**31, (rows, 8), np.int64).astype(np.uint32)
+    table = jnp.asarray(base)
+
+    def rowsum(r):
+        return r.sum(axis=1).astype(jnp.float32)
+
+    def full_decode(r):
+        # texsample-style: 8 words -> 8x4 byte channels, 16 bilinear lerps
+        s = jnp.float32(0.3)
+        t = jnp.float32(0.6)
+        out = jnp.zeros(r.shape[:1], jnp.float32)
+        for ch in range(4):          # rgb + alpha per word group
+            for grp in (0, 4):
+                c = [((r[:, grp + j] >> (8 * ch)) & 0xFF).astype(jnp.float32)
+                     for j in range(4)]
+                c0 = c[0] + (c[1] - c[0]) * s
+                c1 = c[2] + (c[3] - c[2]) * s
+                out = out + c0 + (c1 - c0) * t
+        return out
+
+    for name, cons in (("rowsum", rowsum), ("full decode", full_decode)):
+        m, a, b = measure_consume(table, idx, cons)
+        print(f"[8-col table] {name:12s}: {m*1e3:6.2f} ms ({m/n*1e9:5.1f} ns/row)")
+
+    # same decode from 8 separate single-column tables (each gather is [N])
+    cols = tuple(jnp.asarray(base[:, k]) for k in range(8))
+
+    def split_decode(rl):
+        s = jnp.float32(0.3)
+        t = jnp.float32(0.6)
+        out = jnp.zeros_like(rl[0], dtype=jnp.float32)
+        for ch in range(4):
+            for grp in (0, 4):
+                c = [((rl[grp + j] >> (8 * ch)) & 0xFF).astype(jnp.float32)
+                     for j in range(4)]
+                c0 = c[0] + (c[1] - c[0]) * s
+                c1 = c[2] + (c[3] - c[2]) * s
+                out = out + c0 + (c1 - c0) * t
+        return out
+
+    m, a, b = measure_consume(cols, idx, split_decode)
+    print(f"[8x1-col tables] full decode: {m*1e3:6.2f} ms ({m/n*1e9:5.1f} ns/row)")
+
+
 if __name__ == "__main__":
     import sys
 
     if "--consume" in sys.argv:
         main2()
+    elif "--decode" in sys.argv:
+        main4()
     elif "--size-sweep" in sys.argv:
         main3()
     else:
