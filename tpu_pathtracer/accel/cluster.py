@@ -58,11 +58,12 @@ class ClusterAccel:
             return ""
         if cfg.sort_rays in ("octant", "spatial"):
             return cfg.sort_rays
-        if cfg.sort_rays == "off" or self.num_clusters < 48:
+        if cfg.sort_rays == "off" or self.num_clusters < 2:
             return ""
         # Spatial-major beat pure octant on every scene measured (monkey
-        # 3.32 vs 4.03 s, tower 2.35 vs 2.49, sphere-field 10.5 vs 29.8);
-        # small scenes (suitcase, 18 clusters) don't repay the ~1 ms.
+        # 3.32 vs 4.03 s, tower 2.35 vs 2.49, sphere-field 10.5 vs 29.8)
+        # and edges out no-sort even on the 18-cluster suitcase (2.23 vs
+        # 2.30): auto = spatial whenever there is more than one cluster.
         return "spatial"
 
     def _rpt(self, cfg) -> int:
