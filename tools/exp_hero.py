@@ -68,7 +68,6 @@ def main():
             kind="cluster", cluster_size=args.cluster_size,
             super_branch=args.super_branch,
         )
-        cam_args = dict(eye=(0, 3, 10), lookat=(0, 1, 0))
     else:
         scene = load_scene(
             [f"{ref}/{f}" for f in files],

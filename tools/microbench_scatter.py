@@ -20,8 +20,6 @@ import numpy as np
 
 
 def timed(fn, *args, iters=8):
-    jfn = jax.jit(fn, static_argnames=())
-
     def loop(n_it, salt, *a):
         def step(_, carry):
             out = fn(carry, salt, *a)

@@ -397,15 +397,20 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128, super_bra
     branch = super_branch
     s = -(-c // branch)
     child = np.zeros((s * branch, 8), np.float32)
-    child[:, 0:3] = 1.0      # inverted pads: min > max, never overlap
-    child[:, 3:6] = -1.0
+    # Padding children are POINT boxes at 3e37: the slab test is
+    # order-agnostic (an "inverted" min>max box behaves exactly like the
+    # box spanning the two corners — it does NOT fail), but a far point
+    # box yields tnear ~ 3e37/|d| >> t_max and never overlaps.
+    child[:, 0:3] = 3.0e37
+    child[:, 3:6] = 3.0e37
     child[:c] = aabb8
     super8 = np.zeros((s, 8), np.float32)
-    super8[:, 0:3] = child[:, 0:3].reshape(s, branch, 3).min(axis=1)
-    super8[:, 3:6] = child[:, 3:6].reshape(s, branch, 3).max(axis=1)
-    # Pads in a partial final group have inverted boxes; min/max over the
-    # group still yields the real children's bounds unless the group is
-    # ALL pads (cannot happen: s = ceil(c/branch)).
+    # Super bounds from REAL children only (the far-point pads would
+    # otherwise blow up the final group's box).
+    for g in range(s):
+        real = aabb8[g * branch : min((g + 1) * branch, c)]
+        super8[g, 0:3] = real[:, 0:3].min(axis=0)
+        super8[g, 3:6] = real[:, 3:6].max(axis=0)
 
     flat = vertices.reshape(-1, 3) if t_count else np.zeros((1, 3), np.float32)
     return ClusterAccel(

@@ -129,9 +129,9 @@ class RenderConfig:
     # POSITION, and a pure octant sort interleaves rays from the whole
     # frame.  Measured (v5e): monkey 6.06 -> 4.03 (octant) -> 3.32 s
     # (spatial); tower 2.41 -> 2.35 (spatial); 766-cluster sphere field
-    # 23.2 -> 10.5 (spatial; octant HURTS there, 29.8).  "auto" = off
-    # under 48 clusters (suitcase-sized scenes don't repay the ~1 ms),
-    # spatial otherwise.
+    # 23.2 -> 10.5 (spatial; octant HURTS there, 29.8); even the
+    # 18-cluster suitcase edges out no-sort (2.23 vs 2.30).  "auto" =
+    # spatial for every clustered scene.
     sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
     # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,
@@ -182,6 +182,21 @@ class RenderConfig:
             raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")
         if self.sort_rays not in ("auto", "off", "octant", "spatial"):
             raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
+        if not (0 <= self.sort_spatial_bits <= 9):
+            # 3*bits + 3 octant bits must fit a uint32 sort key.
+            raise ValueError(
+                f"sort_spatial_bits must be 0 (auto) to 9: {self.sort_spatial_bits}"
+            )
+        if self.fifo_depth < 1:
+            # fifo_depth=0 would silently drop every retired pixel (the
+            # staging loop never writes) and render black.
+            raise ValueError(f"fifo_depth must be >= 1: {self.fifo_depth}")
+        if self.flush_every < 1:
+            raise ValueError(f"flush_every must be >= 1: {self.flush_every}")
+        if self.deferred_chunk_div < 1:
+            raise ValueError(
+                f"deferred_chunk_div must be >= 1: {self.deferred_chunk_div}"
+            )
         if self.pixel_order == "tiled" and (
             self.width % 16 or self.height % 8
         ):

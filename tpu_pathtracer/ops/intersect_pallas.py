@@ -289,7 +289,7 @@ def _cluster_kernel_hier(
 
                 @pl.when(jnp.any(slab(aabb_ref, c)))
                 def _():
-                    # Padding children carry inverted AABBs and never get
+                    # Padding children are far point boxes and never get
                     # here; clamp anyway so the VMEM read stays in bounds.
                     tri = tris_ref[jnp.minimum(c, num_clusters - 1)]  # (K,16)
                     v0x = tri[:, 0:1]
@@ -788,9 +788,11 @@ def intersect_clusters_pallas_streamed(
     if c_pad > c:
         pad = jnp.zeros((c_pad - c, k, 16), tris16.dtype)
         tris16 = jnp.concatenate([tris16, pad], axis=0)
-        apad = jnp.zeros((c_pad - c, 8), aabbs.dtype)
-        # Padding clusters get inverted AABBs (min > max): never overlap.
-        apad = apad.at[:, 0:3].set(1.0).at[:, 3:6].set(-1.0)
+        # Padding clusters are far POINT boxes (the slab test is
+        # order-agnostic, so an "inverted" min>max box would behave like
+        # a real box spanning the corners); the c < num_clusters guard
+        # in the kernel makes them harmless either way.
+        apad = jnp.full((c_pad - c, 8), 3.0e37, aabbs.dtype)
         aabbs = jnp.concatenate([aabbs, apad], axis=0)
     nblocks = c_pad // cb
 

@@ -491,8 +491,11 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
         radiance_miss = radiance + attenuation * env_rad
 
     # NEE consumes extra _shade fields (normal, lobe data) that the packed
-    # deferred path does not carry; it keeps the dense shade.
-    if cfg.deferred_shade and not nee:
+    # deferred path does not carry; it keeps the dense shade.  Prim ids
+    # travel as exact f32 in the deferred pack, so scenes at >= 2^24
+    # triangles also keep the dense shade (same guard as the sorted
+    # intersect path, ClusterAccel._want_sort).
+    if cfg.deferred_shade and not nee and scene.num_triangles < (1 << 24):
         sh = _shade_deferred(scene, cfg, hit, origin, direction, seeds, depth)
     else:
         sh = _shade(scene, cfg, hit, origin, direction, seeds, depth)

@@ -393,11 +393,12 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
             for desc in mat.get("maps", {}).values()
         )
     )
-    bundled_pow2_dims = bundled and all(
-        _pow2(desc[1]) and _pow2(desc[2])
-        for mat in materials
-        for desc in mat.get("maps", {}).values()
-    )
+    # Equivalent to bundled_scrambled's _pow2(w*h) condition (a product
+    # of positive ints is a power of two iff both factors are), but kept
+    # as its own named flag: one gates the hash-permuted ROW LAYOUT, the
+    # other the AND-based texel WRAP, and they could diverge if a
+    # non-pow2-total layout ever appears.
+    bundled_pow2_dims = bundled_scrambled
     if bundled:
         attrs[:, MAT_BUNDLE_WIDTH] = 1.0
         attrs[:, MAT_BUNDLE_HEIGHT] = 1.0
