@@ -265,3 +265,13 @@ def test_deferred_shade_streaming_schedule():
     dense = render(scene, RenderConfig(**base))
     deferred = render(scene, RenderConfig(**base, deferred_shade=True))
     _assert_ulp_close(dense, deferred)
+
+
+def test_config_validation_rejects_degenerate_knobs():
+    import pytest as _pytest
+
+    for kw in (dict(fifo_depth=0), dict(flush_every=0),
+               dict(deferred_chunk_div=0), dict(sort_spatial_bits=10),
+               dict(sort_rays="bogus")):
+        with _pytest.raises(ValueError):
+            RenderConfig(**kw)

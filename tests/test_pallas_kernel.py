@@ -241,3 +241,28 @@ def test_hier_kernel_matches_brute():
         np.asarray(buv)[hit], np.asarray(hb.bary)[hit], rtol=1e-4, atol=1e-6
     )
     assert hit.sum() > 50
+
+
+def test_hier_occlusion_matches_brute():
+    from tpu_pathtracer.ops.intersect import occluded_brute
+    from tpu_pathtracer.ops.intersect_pallas import (
+        occluded_clusters_pallas_hier,
+    )
+
+    scene = build_accel(
+        three_spheres_scene(stacks=10, slices=20), kind="cluster",
+        cluster_size=8,
+    )
+    acc = scene.accel
+    rs = np.random.RandomState(6)
+    n = 200
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    occ = occluded_clusters_pallas_hier(
+        acc.tris16, acc.aabb8_child, acc.aabb8_super, acc.order_super,
+        o, d, 0.01, 1e16, rays_per_tile=128, branch=acc.super_branch,
+        interpret=True,
+    )
+    want = occluded_brute(scene.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(want))
+    assert np.asarray(want).sum() > 20

@@ -214,7 +214,23 @@ class ClusterAccel:
                 origins, directions, restore = self._sorted_rays(
                     sort, origins, directions, cfg
                 )
-            if vmem_bytes <= 6 * 1024 * 1024:
+            if (
+                vmem_bytes <= 6 * 1024 * 1024
+                and self.num_clusters >= 192
+                and self.aabb8_super is not None
+            ):
+                from tpu_pathtracer.ops.intersect_pallas import (
+                    occluded_clusters_pallas_hier,
+                )
+
+                occ = occluded_clusters_pallas_hier(
+                    self.tris16, self.aabb8_child, self.aabb8_super,
+                    self.order_super, origins, directions,
+                    t_min=float(t_min), t_max=float(t_max),
+                    rays_per_tile=self._rpt(cfg),
+                    branch=self.super_branch,
+                )
+            elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
                     occluded_clusters_pallas,
                 )

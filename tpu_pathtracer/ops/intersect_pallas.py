@@ -552,6 +552,198 @@ def _occlusion_kernel(
     occ_ref[:] = occ_acc[:]
 
 
+def _occlusion_kernel_hier(
+    aabbs_s,     # SMEM [S,8] f32
+    order_s,     # SMEM [8,S] i32
+    aabb_ref,    # SMEM [S*B,8] f32 (padding children are far point boxes)
+    rays_ref,    # VMEM (8,R) f32
+    tris_ref,    # VMEM [C,K,16] f32
+    occ_ref,     # VMEM out (1,R) i32
+    occ_acc,     # VMEM scratch (1,R) i32
+    *,
+    num_supers: int,
+    branch: int,
+    num_clusters: int,
+    t_min: float,
+    t_max: float,
+):
+    """Two-level any-hit: one scalar slab test skips `branch` clusters at
+    a time, and the super loop EARLY-EXITS once every ray in the packet
+    is occluded (same cost argument as _cluster_kernel_hier — NEE shadow
+    rays on many-cluster scenes were paying per-cluster scalar loop
+    overhead)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    big = jnp.float32(3.4e38)
+    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+
+    occ_acc[:] = jnp.zeros_like(occ_acc)
+
+    octant = (
+        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
+        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
+        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
+    )
+
+    def slab(ref, idx, live):
+        bminx = ref[idx, 0]
+        bminy = ref[idx, 1]
+        bminz = ref[idx, 2]
+        bmaxx = ref[idx, 3]
+        bmaxy = ref[idx, 4]
+        bmaxz = ref[idx, 5]
+        tx0 = (bminx - ox) * ix
+        tx1 = (bmaxx - ox) * ix
+        ty0 = (bminy - oy) * iy
+        ty1 = (bmaxy - oy) * iy
+        tz0 = (bminz - oz) * iz
+        tz1 = (bmaxz - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
+
+    def cond(state):
+        pos, all_occ = state
+        return (pos < num_supers) & (all_occ == 0)
+
+    def visit(state):
+        pos, _ = state
+        s = order_s[octant, pos]
+        live = occ_acc[:] == 0
+
+        @pl.when(jnp.any(slab(aabbs_s, s, live)))
+        def _():
+            def child(j, _):
+                c = s * branch + j
+
+                @pl.when(jnp.any(slab(aabb_ref, c, occ_acc[:] == 0)))
+                def _():
+                    tri = tris_ref[jnp.minimum(c, num_clusters - 1)]
+                    v0x = tri[:, 0:1]
+                    v0y = tri[:, 1:2]
+                    v0z = tri[:, 2:3]
+                    e1x = tri[:, 3:4]
+                    e1y = tri[:, 4:5]
+                    e1z = tri[:, 5:6]
+                    e2x = tri[:, 6:7]
+                    e2y = tri[:, 7:8]
+                    e2z = tri[:, 8:9]
+
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > t_min)
+                        & (t < t_max)
+                    )
+                    hit_any = jnp.any(ok, axis=0, keepdims=True)
+                    occ_acc[:] = jnp.maximum(
+                        occ_acc[:], hit_any.astype(jnp.int32)
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, branch, child, 0)
+
+        all_occ = jnp.min(occ_acc[:]).astype(jnp.int32)
+        return (pos + 1, all_occ)
+
+    jax.lax.while_loop(cond, visit, (jnp.int32(0), jnp.int32(0)))
+    occ_ref[:] = occ_acc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rays_per_tile", "branch", "t_min", "t_max", "interpret"
+    ),
+)
+def occluded_clusters_pallas_hier(
+    tris16: jnp.ndarray,
+    aabbs_child: jnp.ndarray,
+    aabbs_super: jnp.ndarray,
+    order_super: jnp.ndarray,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    rays_per_tile: int = 512,
+    branch: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Two-level any-hit; returns occluded [N] bool."""
+    n = origins.shape[0]
+    c, k, _ = tris16.shape
+    s = aabbs_super.shape[0]
+    r = rays_per_tile
+    n_pad = -(-n // r) * r
+
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[0:3, :n].set(origins.T)
+    rays = rays.at[3:6, :n].set(directions.T)
+    if n_pad > n:
+        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
+
+    tiles = n_pad // r
+    kernel = functools.partial(
+        _occlusion_kernel_hier,
+        num_supers=s,
+        branch=branch,
+        num_clusters=c,
+        t_min=t_min,
+        t_max=t_max,
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (c, k, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, r), jnp.int32)],
+        compiler_params=_vmem_params(tris16.size * 4, r, k),
+        interpret=interpret,
+    )(aabbs_super, order_super, aabbs_child, rays, tris16)[0]
+    return occ[0, :n] > 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rays_per_tile", "t_min", "t_max", "interpret"),
