@@ -69,11 +69,11 @@ class RenderConfig:
     # the texture-gather locality).
     stream_lanes: int = 131072
 
-    # Pixel hand-out order for the streaming renderer.  "tiled" assigns
-    # consecutive lanes a 16x8 pixel block (requires width%16==0 and
-    # height%8==0): ray packets get compact frustums (better Pallas AABB
-    # culling) and the latency-bound texture/env gathers hit neighbouring
-    # HBM rows.  "auto" = tiled when dimensions allow.  Output is bitwise
+    # Pixel hand-out order for the streaming renderer.  "auto" = scanline:
+    # "tiled" (consecutive lanes cover a 16x8 pixel block; requires
+    # width%16==0 and height%8==0) measured SLOWER on v5e — the gather
+    # unit does not reward spatial coherence (docs/perf_notes.md) — and is
+    # kept only as an explicit experimental option.  Output is bitwise
     # identical either way (seeds key off the pixel id).
     pixel_order: str = "auto"       # "auto" | "scanline" | "tiled"
 
@@ -132,6 +132,9 @@ class RenderConfig:
     # 23.2 -> 10.5 (spatial; octant HURTS there, 29.8); even the
     # 18-cluster suitcase edges out no-sort (2.23 vs 2.30).  "auto" =
     # spatial for every clustered scene.
+    # NOTE: above 2^24 padded prim ids ray sorting is disabled even when
+    # set explicitly (prim ids travel through an exact-f32 packed row
+    # after the sorted kernel; see ClusterAccel._want_sort).
     sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
     # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,

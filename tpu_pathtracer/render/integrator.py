@@ -406,6 +406,14 @@ def _shade_deferred(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directio
 
     def chunk(carry):
         k, out_buf, seeds_buf = carry
+        # INVARIANT (load-bearing): k*c + c can exceed the (n+1)-row
+        # lane_of_slot table on the last chunk, and dynamic_slice then
+        # CLAMPS the start down — re-reading up to c-1 already-processed
+        # slots.  That is correct only because re-shading a lane is
+        # bit-identical (same packed inputs, same seeds) and the
+        # .at[idx].set writes are idempotent.  Any per-chunk state (e.g.
+        # a chunk-salted RNG draw) would silently break this; if that is
+        # ever needed, pad lane_of_slot to a multiple of c instead.
         idx = jax.lax.dynamic_slice(lane_of_slot, (k * c,), (c,))   # [C]
         rows = packed_in[idx]                                       # [C,16]
         s_c = seeds_in[idx, 0]
