@@ -138,6 +138,8 @@ def main() -> int:
         dof=False,
         env_mode=env_mode,
         env_importance_sampling=args.nee,
+        # NEE requires the textbook RR estimator (config validation).
+        rr_mode="standard" if args.nee else "reference",
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
         pixel_order=args.pixel_order,

@@ -63,6 +63,10 @@ def config_monkey():
     cfg = RenderConfig(
         width=64, height=48, samples_per_launch=2, max_depth=4,
         dof=False, env_mode="equirect", intersector="cluster",
+        # Strict parity mode pinned explicitly (monkey's 1024^2 albedo
+        # pool is over the mip-build threshold; "auto" also resolves to
+        # off, but goldens should not depend on that policy).
+        texture_lod="off",
     )
     return scene, Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0)), cfg
 

@@ -89,7 +89,12 @@ def test_oracle_textured_monkey_equirect():
     scene = load_scene([f"{REF}/monkey.obj"], env=env, rng_seed=0)
     compare(
         scene,
-        cfg_(env_mode="equirect", samples_per_launch=1, max_depth=3),
+        # texture_lod="off": the numpy oracle has no mip ladder, and the
+        # monkey's 32 MB pool would engage it in "auto" mode.
+        cfg_(
+            env_mode="equirect", samples_per_launch=1, max_depth=3,
+            texture_lod="off",
+        ),
         Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0)),
     )
 

@@ -151,6 +151,66 @@ def test_streamed_kernel_matches_brute(clustered):
     assert hit.sum() > 40
 
 
+def test_streamed2_kernel_matches_brute(clustered):
+    # Two-level streamed variant: supercluster skip + block streaming must
+    # agree with brute exactly, incl. boundary groups that mix real and
+    # padding clusters (giant-box supers) and partial final blocks.
+    from tpu_pathtracer.ops.intersect_pallas import (
+        intersect_clusters_pallas_streamed2,
+    )
+
+    rs = np.random.RandomState(4)
+    n = 200
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    bt, bp, buv = intersect_clusters_pallas_streamed2(
+        acc.tris16, acc.aabb8, o, d, 0.01, 1e16,
+        rays_per_tile=128, block_clusters=4, branch=2, interpret=True,
+    )
+    prim = np.where(np.asarray(bp) == 0x7FFFFFFF, -1, np.asarray(bp))
+    hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+    hit = prim >= 0
+    np.testing.assert_allclose(
+        np.asarray(bt)[hit], np.asarray(hb.t)[hit], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(buv)[hit], np.asarray(hb.bary)[hit], rtol=1e-4, atol=1e-6
+    )
+    assert hit.sum() > 40
+
+
+def test_streamed_occlusion_matches_brute(clustered):
+    # Streamed two-level any-hit (big-scene NEE shadow rays) vs brute.
+    from tpu_pathtracer.ops.intersect import occluded_brute
+    from tpu_pathtracer.ops.intersect_pallas import (
+        occluded_clusters_pallas_streamed,
+    )
+
+    rs = np.random.RandomState(5)
+    n = 300
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    occ_k = np.asarray(occluded_clusters_pallas_streamed(
+        acc.tris16, acc.aabb8, o, d, 0.01, 1e16,
+        rays_per_tile=64, block_clusters=4, branch=2, interpret=True,
+    ))
+    occ_b = np.asarray(occluded_brute(clustered.vertices, o, d, 0.01, 1e16))
+    np.testing.assert_array_equal(occ_k, occ_b)
+    assert occ_b.any() and not occ_b.all()
+
+    # Finite t_max: segments ending before geometry must pass.
+    o1 = jnp.asarray([[0.0, 0.5, 8.0]], jnp.float32)
+    d1 = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    near = occluded_clusters_pallas_streamed(
+        acc.tris16, acc.aabb8, o1, d1, 0.01, 1.0,
+        rays_per_tile=64, block_clusters=4, branch=2, interpret=True,
+    )
+    assert not bool(near[0])
+
+
 def test_octant_sort_roundtrip_and_kernel_equivalence(clustered):
     """octant_sort + interpret-mode kernel + restore == unsorted kernel ==
     brute: the permutation must be a bijection and per-ray results must

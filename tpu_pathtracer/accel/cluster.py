@@ -55,6 +55,15 @@ class ClusterAccel:
         if self.num_clusters * self.cluster_size >= (1 << 24):
             # prim ids travel through an exact-f32 packed row after the
             # sorted kernel; ids must stay below 2^24.
+            if cfg.sort_rays in ("octant", "spatial"):
+                from tpu_pathtracer.utils import logging as plog
+
+                plog.warn_once(
+                    "sort_rays",
+                    f"sort_rays={cfg.sort_rays!r} ignored: scene has >= 2^24 "
+                    "padded prim ids (sorted-kernel prim transport is "
+                    "exact-f32; ids must stay below 2^24)",
+                )
             return ""
         if cfg.sort_rays in ("octant", "spatial"):
             return cfg.sort_rays
@@ -152,17 +161,20 @@ class ClusterAccel:
                 # Beyond the VMEM budget: stream cluster blocks HBM->VMEM
                 # over a second grid axis (Pallas double-buffers the
                 # copies) instead of dropping to the 4x-slower XLA scan.
+                # Two-level: a supercluster slab test skips `super_branch`
+                # clusters of scalar loop overhead at a time.
                 from tpu_pathtracer.ops.intersect_pallas import (
-                    intersect_clusters_pallas_streamed,
+                    intersect_clusters_pallas_streamed2,
                 )
 
-                best_t, best_prim, bary = intersect_clusters_pallas_streamed(
+                best_t, best_prim, bary = intersect_clusters_pallas_streamed2(
                     self.tris16,
                     self.aabb8,
                     origins,
                     directions,
                     t_min=float(t_min),
                     t_max=float(t_max),
+                    branch=self.super_branch,
                 )
             if sort:
                 # Un-permute via ONE small-table gather (pack the four
@@ -241,18 +253,19 @@ class ClusterAccel:
                     rays_per_tile=self._rpt(cfg),
                 )
             else:
-                # Big scene: the streamed closest-hit kernel still beats
-                # the XLA scan; any-hit early exit is lost but the result
-                # is the same occlusion predicate.
+                # Big scene: streamed two-level any-hit — shadow rays no
+                # longer re-pay the full closest-hit streamed kernel
+                # (ADVICE r2 #5): no t/prim/bary tracking, and a packet's
+                # compute stops once all its rays are occluded.
                 from tpu_pathtracer.ops.intersect_pallas import (
-                    intersect_clusters_pallas_streamed,
+                    occluded_clusters_pallas_streamed,
                 )
 
-                _, best_prim, _ = intersect_clusters_pallas_streamed(
+                occ = occluded_clusters_pallas_streamed(
                     self.tris16, self.aabb8, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
+                    branch=self.super_branch,
                 )
-                occ = best_prim < jnp.int32(0x7FFFFFFF)
             return restore(occ) if sort else occ
         return self._occluded_xla(vertices, origins, directions, t_min, t_max)
 

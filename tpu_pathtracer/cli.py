@@ -42,6 +42,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"], help="intersection structure (auto = brute for small scenes, cluster otherwise)")
     p.add_argument("--materials", default="convention", choices=["convention", "mtl"], help="material source for OBJ scenes")
     p.add_argument("--rr-mode", default="reference", choices=["reference", "standard"])
+    p.add_argument("--texture-lod", default="auto", choices=["auto", "off", "mip", "split"], help="texture mip policy for big texture pools (config.texture_lod)")
     p.add_argument("--nee", action="store_true", help="environment importance sampling (next-event estimation; beyond reference)")
     p.add_argument("--tile-pixels", type=int, default=0, help="pixels per launch tile (0 = whole frame)")
     p.add_argument("--checkpoint", default="", help="checkpoint file; saved every --checkpoint-every subframes")
@@ -95,12 +96,18 @@ def build_from_args(args):
             ("-s", "samples_per_launch", args.launch_samples),
             ("--max-depth", "max_depth", args.max_depth),
             ("--rr-mode", "rr_mode", args.rr_mode),
+            ("--texture-lod", "texture_lod", args.texture_lod),
             ("--tile-pixels", "tile_pixels", args.tile_pixels),
         ):
             if flag in argv:
                 overrides[field] = val
         if "--nee" in argv:
             overrides["env_importance_sampling"] = True
+            # NEE requires the textbook RR estimator (see RenderConfig
+            # validation).  Imply it unless the user explicitly forced
+            # reference RR — then let validation raise its clear error.
+            if "--rr-mode" not in argv:
+                overrides["rr_mode"] = "standard"
         if "--dof" in argv or "--no-dof" in argv:
             overrides["dof"] = args.dof
         scene, camera, cfg = load_scene_file(args.scene_file, overrides)
@@ -134,6 +141,12 @@ def build_from_args(args):
 
         env = with_importance_sampling(env)
 
+    # NEE requires standard RR (RenderConfig validation); imply it when
+    # the user didn't explicitly pick an RR mode.
+    rr_mode = args.rr_mode
+    if args.nee and "--rr-mode" not in sys.argv[1:]:
+        rr_mode = "standard"
+
     cfg = RenderConfig(
         width=width,
         height=height,
@@ -141,7 +154,8 @@ def build_from_args(args):
         max_depth=args.max_depth,
         dof=args.dof,
         env_mode=env_mode,
-        rr_mode=args.rr_mode,
+        rr_mode=rr_mode,
+        texture_lod=args.texture_lod,
         env_importance_sampling=args.nee,
         intersector=args.accel if args.scene else "brute",
         tile_pixels=args.tile_pixels,

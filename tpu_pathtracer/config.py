@@ -168,6 +168,31 @@ class RenderConfig:
     # 3/16 at rays_per_tile 1024).
     fifo_depth: int = 4
     flush_every: int = 32
+    # Texture LOD (mip) policy.  Scenes whose bundled texture pool
+    # exceeds ~16 MB get a box-filtered mip pool built alongside.
+    #   "off"   — always sample the full-res pool (strict reference
+    #             parity; the reference is bilinear-only, optixSphere
+    #             .cu:569-596).
+    #   "mip"   — every lane samples the mip pool.
+    #   "split" — primary path segments sample full-res, secondary
+    #             bounces sample the mip (direct texture detail exact).
+    #             Costs MORE than "off" on v5e — the full-pool gather
+    #             still issues one row per lane and the mip gather is
+    #             added on top.  Kept for quality A/B only.
+    #   "auto"  — "off".  MEASURED REFUTATION (round 3, v5e,
+    #             tools/probe_mip_gather.py / tools/ssim_lod.py): the
+    #             in-loop gather floor for a sub-16 MB pool is ~8.5
+    #             ns/lane (the round-2 standalone microbench's 2.7
+    #             ns/row VMEM-staged case does not occur inside the
+    #             render loop), so the real mip sample_bundle costs
+    #             1.94 ms/iter vs 2.15 for the 128 MB full-res pool —
+    #             a ~1.7% end-to-end win that costs SSIM 0.968 (below
+    #             the 0.99 gate) at hero level 2.  Not a perf lever on
+    #             this hardware; docs/perf_notes.md round-3 section has
+    #             the numbers.
+    # Scenes with small texture pools never build a mip, so every mode
+    # is exactly "off" for them (all goldens/parity tests unaffected).
+    texture_lod: str = "auto"       # "auto" | "off" | "mip" | "split"
     # Accumulation dtype for the film. float32 matches the reference.
     accum_dtype: str = "float32"
 
@@ -177,6 +202,18 @@ class RenderConfig:
     def __post_init__(self):
         if self.rr_mode not in ("reference", "standard"):
             raise ValueError(f"invalid rr_mode: {self.rr_mode!r}")
+        if self.env_importance_sampling and self.rr_mode == "reference":
+            # Under the reference's quirky estimator the terminal `/p`
+            # division (optixSphere.cu:382-387) would rescale mid-path NEE
+            # contributions by an unrelated FUTURE survival probability —
+            # an estimator combination the base renderer never produces
+            # and no parity test validates.  NEE is a beyond-reference
+            # feature; it requires the textbook estimator.
+            raise ValueError(
+                "env_importance_sampling (NEE) requires rr_mode='standard': "
+                "the reference RR estimator's terminal /p division would "
+                "bias mid-path NEE contributions"
+            )
         if self.env_mode not in ("equirect", "sunsky", "constant"):
             raise ValueError(f"invalid env_mode: {self.env_mode!r}")
         if self.intersector not in ("auto", "brute", "cluster", "bvh"):
@@ -185,6 +222,8 @@ class RenderConfig:
             raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")
         if self.sort_rays not in ("auto", "off", "octant", "spatial"):
             raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
+        if self.texture_lod not in ("auto", "off", "mip", "split"):
+            raise ValueError(f"invalid texture_lod: {self.texture_lod!r}")
         if not (0 <= self.sort_spatial_bits <= 9):
             # 3*bits + 3 octant bits must fit a uint32 sort key.
             raise ValueError(

@@ -1038,6 +1038,474 @@ def intersect_clusters_pallas_streamed(
     return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
 
 
+def _cluster_kernel_streamed2(
+    aabbs_s,     # SMEM [Sp,8] f32: supercluster bounds (branch-groups of
+    #              the PADDED cluster range; boundary groups that mix real
+    #              and padding children get a giant box — see wrapper)
+    aabb_ref,    # SMEM [Cp,8] f32 (ALL clusters, padded; tiny)
+    rays_ref,    # VMEM (8,R) f32
+    tris_ref,    # VMEM [CB,K,16] f32 — THIS grid step's cluster block
+    t_ref, prim_ref, uv_ref,
+    t_acc, p_acc, u_acc, v_acc,
+    *,
+    num_clusters: int,
+    block_clusters: int,
+    num_blocks: int,
+    cluster_k: int,
+    branch: int,
+    t_min: float,
+    t_max: float,
+):
+    """Two-level HBM-streamed closest hit (VERDICT r2 next-round #3).
+
+    Same streaming layout as _cluster_kernel_streamed (grid =
+    (ray_tiles, cluster_blocks), block axis minor, scratch accumulators
+    persisting across the block axis), but clusters are visited through
+    a supercluster level: ONE scalar slab test skips `branch`
+    Morton-consecutive clusters.  On big scenes the flat streamed loop
+    is dominated by per-cluster scalar overhead (SMEM reads + branch per
+    cluster x every ray tile), exactly like the in-VMEM flat kernel was
+    before _cluster_kernel_hier."""
+    j = pl.program_id(1)
+    supers_per_block = block_clusters // branch
+
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    big = jnp.float32(3.4e38)
+    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+
+    @pl.when(j == 0)
+    def _():
+        t_acc[:] = jnp.full_like(t_acc, t_max)
+        p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
+        u_acc[:] = jnp.zeros_like(u_acc)
+        v_acc[:] = jnp.zeros_like(v_acc)
+
+    def slab(ref, idx):
+        bminx = ref[idx, 0]
+        bminy = ref[idx, 1]
+        bminz = ref[idx, 2]
+        bmaxx = ref[idx, 3]
+        bmaxy = ref[idx, 4]
+        bmaxz = ref[idx, 5]
+        tx0 = (bminx - ox) * ix
+        tx1 = (bmaxx - ox) * ix
+        ty0 = (bminy - oy) * iy
+        ty1 = (bmaxy - oy) * iy
+        tz0 = (bminz - oz) * iz
+        tz1 = (bmaxz - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[:])
+
+    def visit_super(g, _):
+        s = j * supers_per_block + g
+
+        @pl.when(jnp.any(slab(aabbs_s, s)))
+        def _():
+            def child(jj, _):
+                local = g * branch + jj
+                c = j * block_clusters + local
+
+                @pl.when(jnp.any(slab(aabb_ref, c)) & (c < num_clusters))
+                def _():
+                    tri = tris_ref[local]                  # (K,16)
+                    v0x = tri[:, 0:1]
+                    v0y = tri[:, 1:2]
+                    v0z = tri[:, 2:3]
+                    e1x = tri[:, 3:4]
+                    e1y = tri[:, 4:5]
+                    e1z = tri[:, 5:6]
+                    e2x = tri[:, 6:7]
+                    e2y = tri[:, 7:8]
+                    e2z = tri[:, 8:9]
+
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > t_min)
+                        & (t < t_max)
+                    )
+                    tc = jnp.where(ok, t, jnp.float32(jnp.inf))
+                    t_blk = jnp.min(tc, axis=0, keepdims=True)
+                    gid = c * cluster_k + jax.lax.broadcasted_iota(
+                        jnp.int32, tc.shape, 0
+                    )
+                    prim_blk = jnp.min(
+                        jnp.where(tc == t_blk, gid, _BIG_PRIM),
+                        axis=0, keepdims=True,
+                    )
+                    win = gid == prim_blk
+                    u_blk = jnp.min(
+                        jnp.where(win, u, jnp.float32(jnp.inf)),
+                        axis=0, keepdims=True,
+                    )
+                    v_blk = jnp.min(
+                        jnp.where(win, v, jnp.float32(jnp.inf)),
+                        axis=0, keepdims=True,
+                    )
+                    best = t_acc[:]
+                    improved = t_blk < best
+                    t_acc[:] = jnp.where(improved, t_blk, best)
+                    p_acc[:] = jnp.where(improved, prim_blk, p_acc[:])
+                    u_acc[:] = jnp.where(improved, u_blk, u_acc[:])
+                    v_acc[:] = jnp.where(improved, v_blk, v_acc[:])
+
+                return 0
+
+            jax.lax.fori_loop(0, branch, child, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, supers_per_block, visit_super, 0)
+
+    @pl.when(j == num_blocks - 1)
+    def _():
+        t_ref[:] = t_acc[:]
+        prim_ref[:] = p_acc[:]
+        uv_ref[0:1, :] = u_acc[:]
+        uv_ref[1:2, :] = v_acc[:]
+
+
+def _occlusion_kernel_streamed(
+    aabbs_s,     # SMEM [Sp,8] f32
+    aabb_ref,    # SMEM [Cp,8] f32
+    rays_ref,    # VMEM (8,R) f32
+    tris_ref,    # VMEM [CB,K,16] f32
+    occ_ref,     # VMEM out (1,R) i32
+    occ_acc,     # VMEM scratch (1,R) i32 — persists across the block axis
+    *,
+    num_clusters: int,
+    block_clusters: int,
+    num_blocks: int,
+    branch: int,
+    t_min: float,
+    t_max: float,
+):
+    """HBM-streamed two-level any-hit (the occlusion analog of
+    _cluster_kernel_streamed2 — closes ADVICE r2 #5 / VERDICT r2 #3:
+    NEE shadow rays on big scenes used to re-pay the full closest-hit
+    streamed kernel).  The block's whole compute is skipped once every
+    ray in the packet is occluded (the DMA still streams — the grid is
+    fixed — but the slab/triangle work vanishes)."""
+    j = pl.program_id(1)
+    supers_per_block = block_clusters // branch
+
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    big = jnp.float32(3.4e38)
+    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+
+    @pl.when(j == 0)
+    def _():
+        occ_acc[:] = jnp.zeros_like(occ_acc)
+
+    def slab(ref, idx, live):
+        bminx = ref[idx, 0]
+        bminy = ref[idx, 1]
+        bminz = ref[idx, 2]
+        bmaxx = ref[idx, 3]
+        bmaxy = ref[idx, 4]
+        bmaxz = ref[idx, 5]
+        tx0 = (bminx - ox) * ix
+        tx1 = (bmaxx - ox) * ix
+        ty0 = (bminy - oy) * iy
+        ty1 = (bmaxy - oy) * iy
+        tz0 = (bminz - oz) * iz
+        tz1 = (bmaxz - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
+
+    @pl.when(jnp.min(occ_acc[:]) == 0)
+    def _():
+        def visit_super(g, _):
+            s = j * supers_per_block + g
+
+            @pl.when(jnp.any(slab(aabbs_s, s, occ_acc[:] == 0)))
+            def _():
+                def child(jj, _):
+                    local = g * branch + jj
+                    c = j * block_clusters + local
+
+                    @pl.when(
+                        jnp.any(slab(aabb_ref, c, occ_acc[:] == 0))
+                        & (c < num_clusters)
+                    )
+                    def _():
+                        tri = tris_ref[local]
+                        v0x = tri[:, 0:1]
+                        v0y = tri[:, 1:2]
+                        v0z = tri[:, 2:3]
+                        e1x = tri[:, 3:4]
+                        e1y = tri[:, 4:5]
+                        e1z = tri[:, 5:6]
+                        e2x = tri[:, 6:7]
+                        e2y = tri[:, 7:8]
+                        e2z = tri[:, 8:9]
+
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv_det = jnp.where(
+                            jnp.abs(det) > 1e-12, 1.0 / det, 0.0
+                        )
+                        tx = ox - v0x
+                        ty = oy - v0y
+                        tz = oz - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * inv_det
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        ok = (
+                            (jnp.abs(det) > 1e-12)
+                            & (u >= 0.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                            & (t > t_min)
+                            & (t < t_max)
+                        )
+                        hit_any = jnp.any(ok, axis=0, keepdims=True)
+                        occ_acc[:] = jnp.maximum(
+                            occ_acc[:], hit_any.astype(jnp.int32)
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(0, branch, child, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, supers_per_block, visit_super, 0)
+
+    @pl.when(j == num_blocks - 1)
+    def _():
+        occ_ref[:] = occ_acc[:]
+
+
+def _streamed_pads(tris16, aabbs, block_clusters, branch):
+    """Pad clusters to a block multiple and build branch-group supers over
+    the PADDED range.  Padding clusters are far point boxes; a boundary
+    group mixing real and padding children gets a giant (but harmless)
+    box — its children are still individually slab-culled."""
+    c, k, _ = tris16.shape
+    cb = min(block_clusters, max(branch, -(-c // branch) * branch))
+    cb = max(cb, branch)
+    if cb % branch:
+        cb = -(-cb // branch) * branch
+    c_pad = -(-c // cb) * cb
+    if c_pad > c:
+        pad = jnp.zeros((c_pad - c, k, 16), tris16.dtype)
+        tris16 = jnp.concatenate([tris16, pad], axis=0)
+        apad = jnp.full((c_pad - c, 8), 3.0e37, aabbs.dtype)
+        aabbs = jnp.concatenate([aabbs, apad], axis=0)
+    s = c_pad // branch
+    groups = aabbs.reshape(s, branch, 8)
+    supers = jnp.concatenate(
+        [
+            groups[:, :, 0:3].min(axis=1),
+            groups[:, :, 3:6].max(axis=1),
+            jnp.zeros((s, 2), aabbs.dtype),
+        ],
+        axis=-1,
+    )
+    return tris16, aabbs, supers, cb, c_pad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rays_per_tile", "block_clusters", "branch", "t_min", "t_max",
+        "interpret",
+    ),
+)
+def intersect_clusters_pallas_streamed2(
+    tris16: jnp.ndarray,    # [C,K,16] f32
+    aabbs: jnp.ndarray,     # [C,8] f32
+    origins: jnp.ndarray,   # [N,3]
+    directions: jnp.ndarray,
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    rays_per_tile: int = 1024,
+    block_clusters: int = 32,
+    branch: int = 8,
+    interpret: bool = False,
+):
+    """Two-level streamed closest hit; same returns as
+    intersect_clusters_pallas_streamed."""
+    n = origins.shape[0]
+    _, k, _ = tris16.shape
+    c = tris16.shape[0]
+    tris16, aabbs, supers, cb, c_pad = _streamed_pads(
+        tris16, aabbs, block_clusters, branch
+    )
+    nblocks = c_pad // cb
+
+    r = rays_per_tile
+    n_pad = -(-n // r) * r
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[0:3, :n].set(origins.T)
+    rays = rays.at[3:6, :n].set(directions.T)
+    if n_pad > n:
+        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
+    tiles = n_pad // r
+
+    kernel = functools.partial(
+        _cluster_kernel_streamed2,
+        num_clusters=c,
+        block_clusters=cb,
+        num_blocks=nblocks,
+        cluster_k=k,
+        branch=branch,
+        t_min=t_min,
+        t_max=t_max,
+    )
+    best_t, best_prim, best_uv = pl.pallas_call(
+        kernel,
+        grid=(tiles, nblocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # supers
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # aabbs
+            pl.BlockSpec((8, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cb, k, 16), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, r), jnp.float32),
+            pltpu.VMEM((1, r), jnp.int32),
+            pltpu.VMEM((1, r), jnp.float32),
+            pltpu.VMEM((1, r), jnp.float32),
+        ],
+        compiler_params=_vmem_params(cb * k * 16 * 4, r, k),
+        interpret=interpret,
+    )(supers, aabbs, rays, tris16)
+    return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rays_per_tile", "block_clusters", "branch", "t_min", "t_max",
+        "interpret",
+    ),
+)
+def occluded_clusters_pallas_streamed(
+    tris16: jnp.ndarray,    # [C,K,16] f32
+    aabbs: jnp.ndarray,     # [C,8] f32
+    origins: jnp.ndarray,   # [N,3]
+    directions: jnp.ndarray,
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    rays_per_tile: int = 1024,
+    block_clusters: int = 32,
+    branch: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """HBM-streamed two-level any-hit; returns occluded [N] bool."""
+    n = origins.shape[0]
+    _, k, _ = tris16.shape
+    c = tris16.shape[0]
+    tris16, aabbs, supers, cb, c_pad = _streamed_pads(
+        tris16, aabbs, block_clusters, branch
+    )
+    nblocks = c_pad // cb
+
+    r = rays_per_tile
+    n_pad = -(-n // r) * r
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[0:3, :n].set(origins.T)
+    rays = rays.at[3:6, :n].set(directions.T)
+    if n_pad > n:
+        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
+    tiles = n_pad // r
+
+    kernel = functools.partial(
+        _occlusion_kernel_streamed,
+        num_clusters=c,
+        block_clusters=cb,
+        num_blocks=nblocks,
+        branch=branch,
+        t_min=t_min,
+        t_max=t_max,
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid=(tiles, nblocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cb, k, 16), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, r), jnp.int32)],
+        compiler_params=_vmem_params(cb * k * 16 * 4, r, k),
+        interpret=interpret,
+    )(supers, aabbs, rays, tris16)[0]
+    return occ[0, :n] > 0
+
+
 def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
     """Spread 10 bits of v so bit i lands at bit 3i (3-D Morton)."""
     v = v & jnp.uint32(0x3FF)

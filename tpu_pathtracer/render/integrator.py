@@ -161,18 +161,58 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
         # All maps of a material share dims: ONE gather serves all four.
         from tpu_pathtracer.render.texsample import sample_bundle
 
-        bundle_samples = sample_bundle(
+        # Texture LOD: when a mip ladder exists (only built for pools
+        # beyond ~16 MB), explicit "mip" swaps the whole gather onto
+        # the small pool and "split" keeps full-res for primary
+        # segments.  "auto" resolves to OFF: measured on v5e the mip
+        # gather saves only ~0.2 ms/iter while costing visible texture
+        # detail (see config.texture_lod for the numbers).
+        lod = cfg.texture_lod
+        use_mip = m.mip_level > 0 and lod in ("mip", "split")
+        mip_pools = (
+            (
+                m.texture_bundles_mip,
+                ma[:, S.MAT_MIP_OFFSET].astype(jnp.int32),
+                ma[:, S.MAT_MIP_WIDTH].astype(jnp.int32),
+                ma[:, S.MAT_MIP_HEIGHT].astype(jnp.int32),
+                m.mip_scrambled,
+                m.mip_pow2_dims,
+            )
+            if use_mip
+            else None
+        )
+        base_pools = (
             m.texture_bundles,
             ma[:, S.MAT_BUNDLE_OFFSET].astype(jnp.int32),
             ma[:, S.MAT_BUNDLE_WIDTH].astype(jnp.int32),
             ma[:, S.MAT_BUNDLE_HEIGHT].astype(jnp.int32),
-            tex_u,
-            tex_v,
-            morton=m.bundled_morton,
-            scrambled=m.bundled_scrambled,
-            pow2_dims=m.bundled_pow2_dims,
-            active=hit.hit,  # miss lanes spread over hashed rows
+            m.bundled_scrambled,
+            m.bundled_pow2_dims,
         )
+
+        def _bundle(pools, active):
+            pool, off, w, h, scr, p2 = pools
+            return sample_bundle(
+                pool, off, w, h, tex_u, tex_v,
+                morton=m.bundled_morton and pools is base_pools,
+                scrambled=scr,
+                pow2_dims=p2,
+                active=active,  # inactive lanes spread over hashed rows
+            )
+
+        if use_mip and lod != "split":
+            bundle_samples = _bundle(mip_pools, hit.hit)
+        elif use_mip:
+            # split: primary segments (depth == cfg.max_depth) full-res.
+            primary = depth >= jnp.int32(cfg.max_depth)
+            full = _bundle(base_pools, hit.hit & primary)
+            mips = _bundle(mip_pools, hit.hit & ~primary)
+            bundle_samples = [
+                jnp.where(primary[:, None], f, mp)
+                for f, mp in zip(full, mips)
+            ]
+        else:
+            bundle_samples = _bundle(base_pools, hit.hit)
 
         def prop(kind: int, fallback):
             return jnp.where(
@@ -483,7 +523,9 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
     diffuse-lobe next-event contribution; env radiance on misses is then
     only credited to specular/primary segments (`spec_last` — the purpose
     the reference's dead `specular_bounce` payload flag was built for,
-    optixSphere.h:44).  Pairs best with rr_mode="standard".
+    optixSphere.h:44).  Requires rr_mode="standard" — enforced by
+    RenderConfig validation: the reference estimator's terminal /p
+    division would bias mid-path NEE contributions.
     """
     nee = cfg.env_importance_sampling
     hit = intersect_scene(scene, origin, direction, cfg.t_min, cfg.t_max, cfg)

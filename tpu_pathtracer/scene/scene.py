@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-# Column layout of MaterialTable.attrs ([M,32]).
+# Column layout of MaterialTable.attrs ([M,MAT_COLS]).
 MAT_DIFFUSE = slice(0, 3)
 MAT_SPECULAR = slice(3, 6)
 MAT_EMISSION = slice(6, 9)
@@ -55,6 +55,16 @@ MAT_BUNDLE_HEIGHT = 30
 # Per-material index of refraction (MTL `Ni`). 0 = unspecified: shading
 # falls back to cfg.ior (the reference hard-codes 1.5, optixSphere.cu:717).
 MAT_IOR = 31
+# Mip (LOD) bundle descriptor: the same material's maps box-filtered to a
+# coarser level and packed into `texture_bundles_mip` — a pool sized to
+# sit UNDER the ~16 MB v5e gather cliff (tables below it are VMEM-staged
+# by XLA and gather ~8x faster; docs/perf_notes.md size sweep).  Built by
+# make_material_table only when the full-res pool exceeds the cliff.
+MAT_MIP_OFFSET = 32
+MAT_MIP_WIDTH = 33
+MAT_MIP_HEIGHT = 34
+# Total packed columns (pad to a lane-friendly multiple of 8).
+MAT_COLS = 40
 
 # Column layout of Scene.tri_attrs ([T,32]).
 TRI_V = slice(0, 9)       # v0 v1 v2 xyz
@@ -72,7 +82,7 @@ class MaterialTable:
     (layout above); the named arrays are kept for inspection/tests.
     """
 
-    attrs: jnp.ndarray           # [M,32] f32 packed lookup matrix
+    attrs: jnp.ndarray           # [M,MAT_COLS] f32 packed lookup matrix
     diffuse_color: jnp.ndarray   # [M,3] f32
     specular: jnp.ndarray        # [M,3] f32 (parity field; unused by the
     #                              BSDF just like the reference's)
@@ -94,6 +104,11 @@ class MaterialTable:
     # share dimensions (`bundled` static flag), in which case shading does
     # ONE 32-byte texture gather per bounce instead of four.
     texture_bundles: jnp.ndarray
+    # [Pm,8] uint32 mip bundle pool (same channel-packed row format as
+    # texture_bundles) holding every material's maps box-filtered down so
+    # the WHOLE pool sits under the ~16 MB gather cliff.  Row 0 = no-map
+    # sink.  None when no mip ladder was built (pool already small).
+    texture_bundles_mip: Optional[jnp.ndarray] = None
     bundled: bool = struct.field(pytree_node=False, default=False)
     # Bundle texels stored in Morton (Z-curve) order instead of row-major.
     # Historical: Z-order was meant to put nearby texels in nearby HBM
@@ -111,6 +126,13 @@ class MaterialTable:
     # use a bitwise AND instead of two integer divisions per lane
     # (`jnp.mod` lowers to int division, ~20+ VPU cycles each).
     bundled_pow2_dims: bool = struct.field(pytree_node=False, default=False)
+    # Mip ladder metadata (static).  mip_level = the global box-filter
+    # level the ladder was built at (per-material levels can be lower for
+    # small maps); 0 = no ladder.  The scrambled/pow2 flags mirror the
+    # base pool's, evaluated at mip dimensions.
+    mip_level: int = struct.field(pytree_node=False, default=0)
+    mip_scrambled: bool = struct.field(pytree_node=False, default=False)
+    mip_pow2_dims: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_materials(self) -> int:
@@ -271,6 +293,48 @@ def pack_bundle_rows(
     return np.concatenate([word_a, word_b], axis=1).astype(np.uint32)
 
 
+def _quads_to_channels(quads: Optional[np.ndarray], w: int, h: int) -> Optional[np.ndarray]:
+    """[h*w,4] u32 quad rows (row-major texels) -> [h,w,3] u8 channels of
+    the texel itself (quad column 0; alpha is the constant 255 pad)."""
+    if quads is None:
+        return None
+    c00 = np.asarray(quads[:, 0].reshape(h, w), np.uint32)
+    return np.stack(
+        [
+            (c00 & np.uint32(0xFF)).astype(np.uint8),
+            ((c00 >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8),
+            ((c00 >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def _box_downsample_u8(img: np.ndarray, level: int) -> np.ndarray:
+    """[h,w,c] u8 -> [h>>L, w>>L, c] u8 by exact 2^L x 2^L box-filter mean
+    (round-half-up, matching pack_rgba8's quantiser).  Dims must divide."""
+    if level == 0:
+        return img
+    h, w, c = img.shape
+    f = 1 << level
+    blocks = img.reshape(h // f, f, w // f, f, c).astype(np.float64)
+    mean = blocks.mean(axis=(1, 3))
+    return np.clip(np.round(mean), 0, 255).astype(np.uint8)
+
+
+def _channels_to_quads(img_u8: np.ndarray) -> np.ndarray:
+    """[h,w,3] u8 -> [h*w,4] u32 quad rows (repeat wrap both axes) without
+    a float round-trip (texels are already quantised)."""
+    h, w = img_u8.shape[:2]
+    u = img_u8.astype(np.uint32)
+    packed = u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16) | (np.uint32(255) << 24)
+    x1 = (np.arange(w) + 1) % w
+    y1 = (np.arange(h) + 1) % h
+    quads = np.stack(
+        [packed, packed[:, x1], packed[y1, :], packed[y1][:, x1]], axis=-1
+    )
+    return quads.reshape(h * w, 4)
+
+
 def make_texture_quads(img: np.ndarray) -> np.ndarray:
     """[H,W,3] float -> [H*W,4] uint32 quad rows (repeat wrap both axes,
     matching render/texsample semantics)."""
@@ -314,7 +378,12 @@ def pack_tri_attrs(vertices, normals, uvs, mat_ids) -> np.ndarray:
     return attrs
 
 
-def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarray] = None) -> MaterialTable:
+def make_material_table(
+    materials: list[dict],
+    texture_quads: Optional[np.ndarray] = None,
+    mip_budget_bytes: int = 12 * 1024 * 1024,
+    mip_min_pool_bytes: int = 16 * 1024 * 1024,
+) -> MaterialTable:
     """Build a MaterialTable from a list of material dicts.
 
     Each dict supports keys: color (3,), specular (3,), emission (float),
@@ -325,12 +394,21 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
 
     Mirrors the SBT fill at reference optixSphere.cpp:1196-1262 (notably
     emission_color = color * emission, cpp:1213).
+
+    When the bundled texture pool exceeds `mip_min_pool_bytes` (the v5e
+    gather unit serves tables under ~16 MB ~8x faster — they get
+    VMEM-staged by XLA), a mip (LOD) ladder is additionally built: every
+    material's maps box-filtered to the smallest level whose combined
+    pool fits `mip_budget_bytes` (see _build_mip_pool).  Shading picks
+    the pool per cfg.texture_lod.
     """
     kinds = ["albedo", "roughness", "normal", "metallic"]
     m = len(materials)
-    attrs = np.zeros((m, 32), np.float32)
+    attrs = np.zeros((m, MAT_COLS), np.float32)
     attrs[:, MAT_MAP_WIDTH] = 1.0
     attrs[:, MAT_MAP_HEIGHT] = 1.0
+    attrs[:, MAT_MIP_WIDTH] = 1.0
+    attrs[:, MAT_MIP_HEIGHT] = 1.0
 
     for i, mat in enumerate(materials):
         color = np.asarray(mat.get("color", (0.5, 0.5, 0.5)), np.float32)
@@ -436,6 +514,22 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
             bundle_off += n_texels
     texture_bundles = np.concatenate(bundle_rows, axis=0)
 
+    # ---- mip (LOD) ladder --------------------------------------------
+    # Only worth building when the full-res pool pays full HBM gather
+    # latency (i.e. it exceeds the ~16 MB VMEM-staging cliff).
+    texture_bundles_mip = None
+    mip_level = 0
+    mip_scrambled = False
+    mip_pow2 = False
+    if bundled and texture_bundles.nbytes > mip_min_pool_bytes:
+        built = _build_mip_pool(materials, texture_quads, mip_budget_bytes)
+        if built is not None:
+            texture_bundles_mip, mip_desc, mip_level, mip_scrambled, mip_pow2 = built
+            for i, (off, w, h) in mip_desc.items():
+                attrs[i, MAT_MIP_OFFSET] = float(off)
+                attrs[i, MAT_MIP_WIDTH] = float(w)
+                attrs[i, MAT_MIP_HEIGHT] = float(h)
+
     return MaterialTable(
         attrs=jnp.asarray(attrs),
         diffuse_color=jnp.asarray(attrs[:, MAT_DIFFUSE]),
@@ -450,10 +544,116 @@ def make_material_table(materials: list[dict], texture_quads: Optional[np.ndarra
         map_height=jnp.asarray(attrs[:, MAT_MAP_HEIGHT].astype(np.int32)),
         texture_quads=jnp.asarray(texture_quads.astype(np.uint32)),
         texture_bundles=jnp.asarray(texture_bundles),
+        texture_bundles_mip=(
+            None if texture_bundles_mip is None
+            else jnp.asarray(texture_bundles_mip)
+        ),
         bundled=bundled,
         bundled_morton=bundled_morton,
         bundled_scrambled=bundled_scrambled,
         bundled_pow2_dims=bundled_pow2_dims,
+        mip_level=mip_level,
+        mip_scrambled=mip_scrambled,
+        mip_pow2_dims=mip_pow2,
+    )
+
+
+def _build_mip_pool(
+    materials: list[dict],
+    texture_quads: np.ndarray,
+    budget_bytes: int,
+):
+    """Build the channel-packed mip bundle pool for a bundled material set.
+
+    Picks the smallest global level L >= 1 whose combined pool (32 B/row)
+    fits `budget_bytes`; each material's effective level is capped so its
+    dimensions stay divisible by 2^level and at least 4 texels per axis
+    (small maps ride along unfiltered).  Returns
+    (rows [Pm,8] u32, {material_i: (offset, w, h)}, L, scrambled, pow2)
+    or None when no level fits the budget.
+    """
+    budget_texels = max(budget_bytes // 32, 1)
+
+    def _cap(w: int, h: int) -> int:
+        cap = 0
+        while (
+            (w >> (cap + 1)) >= 4
+            and (h >> (cap + 1)) >= 4
+            and w % (1 << (cap + 1)) == 0
+            and h % (1 << (cap + 1)) == 0
+        ):
+            cap += 1
+        return cap
+
+    entries = []  # (i, maps, w, h, cap)
+    for i, mat in enumerate(materials):
+        maps = mat.get("maps", {})
+        if not maps:
+            continue
+        desc0 = next(iter(maps.values()))
+        w, h = desc0[1], desc0[2]
+        entries.append((i, maps, w, h, _cap(w, h)))
+    if not entries:
+        return None
+
+    level = None
+    for lv in range(1, 16):
+        total = sum(
+            (w >> min(lv, cap)) * (h >> min(lv, cap))
+            for (_, _, w, h, cap) in entries
+        )
+        if total <= budget_texels:
+            level = lv
+            break
+        if all(min(lv, cap) == cap for (_, _, _, _, cap) in entries):
+            break  # fully capped and still over budget
+    if level is None:
+        return None
+
+    def _pow2(n):
+        return n > 0 and (n & (n - 1)) == 0
+
+    mip_dims = [
+        (w >> min(level, cap), h >> min(level, cap))
+        for (_, _, w, h, cap) in entries
+    ]
+    scrambled = all(_pow2(mw * mh) for (mw, mh) in mip_dims)
+    pow2_dims = scrambled
+
+    rows = [np.zeros((1, 8), np.uint32)]  # row 0 = no-map sink
+    off = 1
+    desc_out = {}
+    for (i, maps, w, h, cap), (mw, mh) in zip(entries, mip_dims):
+        e = min(level, cap)
+        n_texels = w * h
+
+        def _mip_quads(kind):
+            d = maps.get(kind)
+            if d is None:
+                return None
+            img = _quads_to_channels(
+                texture_quads[d[0] : d[0] + n_texels], w, h
+            )
+            return _channels_to_quads(_box_downsample_u8(img, e))
+
+        bundle = pack_bundle_rows(
+            _mip_quads("albedo"), _mip_quads("roughness"),
+            _mip_quads("normal"), _mip_quads("metallic"), mw * mh,
+        )
+        if scrambled and mw * mh > 1:
+            scatter = scramble_order(mw * mh)
+            sb = np.empty_like(bundle)
+            sb[scatter] = bundle
+            bundle = sb
+        rows.append(bundle)
+        desc_out[i] = (off, mw, mh)
+        off += mw * mh
+    return (
+        np.concatenate(rows, axis=0).astype(np.uint32),
+        desc_out,
+        level,
+        scrambled,
+        pow2_dims,
     )
 
 

@@ -38,6 +38,20 @@ def warn(tag: str, message: str) -> None:
     log("warn", tag, message)
 
 
+_warned: set = set()
+
+
+def warn_once(tag: str, message: str) -> None:
+    """warn(), deduplicated by (tag, message) for the process lifetime —
+    for per-call-site notices inside jit-traced builders (traced multiple
+    times per config)."""
+    key = (tag, message)
+    if key in _warned:
+        return
+    _warned.add(key)
+    warn(tag, message)
+
+
 def error(tag: str, message: str) -> None:
     log("error", tag, message)
 
