@@ -210,6 +210,38 @@ def main():
     measure("full bounce kernel", k_bounce(cfgK))
     measure("full bounce brute", k_bounce(cfgB))
 
+    # ---- NEE adders: occlusion pass alone, then the full NEE bounce ------
+    from tpu_pathtracer.ops.intersect import occluded_scene
+    from tpu_pathtracer.render.envmap import sample_env_alias, with_importance_sampling
+
+    scene_is = scene.replace(env=with_importance_sampling(scene.env))
+    cfgN = cfgK.replace(env_importance_sampling=True, rr_mode="standard")
+
+    def k_occl(sc, o, d, s):
+        occ = occluded_scene(sc, o, d, 0.01, 1e16, cfgK)
+        return (o + 0.001 * d + 1e-5 * occ[:, None].astype(jnp.float32), d, s)
+
+    def k_alias(sc, o, d, s):
+        s, u1, u2 = rng.uniform2(s)
+        s, u3, u4 = rng.uniform2(s)
+        env_dir, pdf = sample_env_alias(
+            sc.env.alias_table, sc.env.height, sc.env.width, u1, u2, u3, u4
+        )
+        e = eval_env(sc.env, env_dir, cfgK)
+        return (o + 0.001 * d + 1e-5 * (e + pdf[:, None]), env_dir, s)
+
+    def k_bounce_nee(sc, o, d, s):
+        tb = _trace_bounce(sc, cfgN, o, d, att, rad, s, depth8, spec)
+        return (tb["origin"] + 1e-5 * tb["radiance"],
+                tb["direction"], tb["seeds"])
+
+    scene_sv = scene
+    scene = scene_is  # measure() closes over `scene`
+    measure("occluded pass", k_occl)
+    measure("alias+env eval", k_alias)
+    measure("full bounce NEE", k_bounce_nee)
+    scene = scene_sv
+
 
 if __name__ == "__main__":
     main()

@@ -20,10 +20,14 @@ pointers.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_pathtracer.scene.scene import SCRAMBLE_MULT
 
-_INV255 = jnp.float32(1.0 / 255.0)
+# np (not jnp) scalar: a module-level jnp constant would initialise the
+# XLA backend at import time, breaking jax.distributed.initialize (which
+# must run before any backend touch — tests/_dist_worker.py).
+_INV255 = np.float32(1.0 / 255.0)
 
 
 def _decode_rgb(word: jnp.ndarray):

@@ -23,10 +23,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
-# 1/2^32 — maps uint32 to [0, 1).
-_INV_U32 = jnp.float32(2.3283064365386963e-10)
+# 1/2^32 — maps uint32 to [0, 1).  np (not jnp) scalar: a module-level
+# jnp constant would initialise the XLA backend at import time, breaking
+# jax.distributed.initialize (tests/_dist_worker.py).
+_INV_U32 = np.float32(2.3283064365386963e-10)
 
 
 def pcg_hash(x: jnp.ndarray) -> jnp.ndarray:
