@@ -1,12 +1,16 @@
-"""Probe: what dominates the streamed big-scene kernel's 15.8 ms/iter?
+"""Probe: streamed big-scene kernel parameter sweep (98k-tri sphere field).
 
-Sweeps block_clusters / rays_per_tile / branch for the streamed2 kernel
-on the 98k-tri sphere field, measuring marginal in-loop cost (K vs 2K
-fori_loop iterations, salted, readback-synced — the profile_inloop.py
-method).  Grid-step count = (lanes/rpt) * ceil(C/block): if cost tracks
-step count rather than HBM bytes, per-step fixed overhead dominates and
-a block-major redesign (scene streamed ONCE per call, not once per ray
-tile) is the fix.
+Measures marginal in-loop cost (K vs 2K fori_loop iterations, salted,
+readback-synced — the profile_inloop.py method) of the block-major
+two-level streamed kernel across rays_per_tile / block_clusters /
+cluster_size.  History (v5e, 131k lanes):
+  tile-major streamed2 rpt1024 blk32      25.2 ms/iter ( 5.2 M/s)
+  block-major          rpt1024 blk96      20.4 ms/iter ( 6.4 M/s)
+  block-major          rpt512  blk96      16.7 ms/iter ( 7.9 M/s)  <- shipped
+  mt_sub sub-span slab gating REFUTED: sub2/4/8 = 17.1/22.7/27.6 ms
+  (extra scalar slab loops cost more than the skipped MT work saved).
+cs32 (3063 clusters) overflows SMEM: aabb rows cost 64 B/elem there
+([3072,8] f32 -> 1.5 MB > the 1 MB bank), so cluster_size >= 64 only.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/probe_streamed.py
 """
@@ -27,7 +31,6 @@ def main():
     from tpu_pathtracer.accel.build import build_accel
     from tpu_pathtracer.ops.intersect_pallas import (
         intersect_clusters_pallas_streamed,
-        intersect_clusters_pallas_streamed2,
     )
     from tpu_pathtracer.render.camera import Camera
     from tpu_pathtracer.render.integrator import camera_arrays, generate_camera_rays
@@ -78,51 +81,37 @@ def main():
         tK = min(run(K) for _ in range(3))
         t2K = min(run(2 * K) for _ in range(3))
         m = (t2K - tK) / K
-        print(f"{name:44s}: {m*1e3:7.2f} ms/iter ({n/max(m,1e-9)/1e6:6.1f} M/s)")
+        print(f"{name:44s}: {m*1e3:7.2f} ms/iter ({n/max(m,1e-9)/1e6:6.1f} M/s)", flush=True)
         return m
 
-    def s2(rpt, blk, br):
+    def s(a, rpt, blk, br):
         def call(o, d):
-            return intersect_clusters_pallas_streamed2(
-                acc.tris16, acc.aabb8, o, d, 0.01, 1e16,
+            return intersect_clusters_pallas_streamed(
+                a.tris16, a.aabb8, o, d, 0.01, 1e16,
                 rays_per_tile=rpt, block_clusters=blk, branch=br,
             )
         return call
 
-    def s1(rpt, blk):
-        def call(o, d):
-            return intersect_clusters_pallas_streamed(
-                acc.tris16, acc.aabb8, o, d, 0.01, 1e16,
-                rays_per_tile=rpt, block_clusters=blk,
-            )
-        return call
+    measure("streamed rpt512 blk96 br8 (default)", s(acc, 512, 96, 8))
+    for rpt, blk, br in ((512, 48, 8), (512, 192, 8), (256, 96, 8),
+                         (512, 96, 16), (1024, 96, 8)):
+        try:
+            measure(f"streamed rpt{rpt} blk{blk} br{br}", s(acc, rpt, blk, br))
+        except Exception as e:
+            print(f"rpt{rpt} blk{blk} br{br} FAILED: {str(e)[:160]}",
+                  flush=True)
 
-    measure("streamed1 rpt1024 blk16 (r2 default)", s1(1024, 16))
-    measure("streamed2 rpt1024 blk32 br8 (default)", s2(1024, 32, 8))
-    measure("streamed2 rpt1024 blk96 br8", s2(1024, 96, 8))
-    measure("streamed2 rpt1024 blk192 br8", s2(1024, 192, 8))
-    measure("streamed2 rpt2048 blk96 br8", s2(2048, 96, 8))
-    measure("streamed2 rpt4096 blk192 br8", s2(4096, 192, 8))
-    measure("streamed2 rpt1024 blk96 br16", s2(1024, 96, 16))
-
-    try:
-        from tpu_pathtracer.ops.intersect_pallas import (
-            intersect_clusters_pallas_streamed3,
-        )
-
-        def s3(rpt, blk, br):
-            def call(o, d):
-                return intersect_clusters_pallas_streamed3(
-                    acc.tris16, acc.aabb8, o, d, 0.01, 1e16,
-                    rays_per_tile=rpt, block_clusters=blk, branch=br,
-                )
-            return call
-
-        measure("streamed3 rpt1024 blk32 br8", s3(1024, 32, 8))
-        measure("streamed3 rpt1024 blk96 br8", s3(1024, 96, 8))
-        measure("streamed3 rpt2048 blk96 br8", s3(2048, 96, 8))
-    except ImportError:
-        print("(streamed3 not built yet)")
+    # Cluster-size sweep: MT waste per surviving cluster scales with K,
+    # slab count with C=tris/K.
+    from tpu_pathtracer.accel.cluster import build_cluster_accel
+    import numpy as np
+    verts = np.asarray(scene.vertices)
+    for cs in (64, 256):
+        try:
+            a2 = build_cluster_accel(verts, cluster_size=cs)
+            measure(f"streamed cs{cs} rpt512 blk96 br8", s(a2, 512, 96, 8))
+        except Exception as e:
+            print(f"cs{cs} FAILED: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

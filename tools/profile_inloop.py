@@ -242,6 +242,23 @@ def main():
     measure("full bounce NEE", k_bounce_nee)
     scene = scene_sv
 
+    # ---- queue/respawn decomposition (VERDICT r2 next #4) ----------------
+    from tpu_pathtracer.ops.scan import cumsum_i32
+
+    def k_camregen(sc, o, d, s):
+        o_r, d_r, s_r = generate_camera_rays(
+            cam, pix % cfgK.width, pix // cfgK.width, s, cfgK
+        )
+        return (o + 1e-5 * o_r + 0.001 * d, d_r, s_r)
+
+    def k_cumsum(sc, o, d, s):
+        done = o[:, 0] > o[:, 1]
+        inc = cumsum_i32(done.astype(jnp.int32))
+        return (o + 1e-6 * inc[:, None].astype(jnp.float32) + 0.001 * d, d, s)
+
+    measure("camera regen (all lanes)", k_camregen)
+    measure("queue cumsum", k_cumsum)
+
 
 if __name__ == "__main__":
     main()

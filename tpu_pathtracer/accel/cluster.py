@@ -159,22 +159,28 @@ class ClusterAccel:
                 )
             else:
                 # Beyond the VMEM budget: stream cluster blocks HBM->VMEM
-                # over a second grid axis (Pallas double-buffers the
-                # copies) instead of dropping to the 4x-slower XLA scan.
-                # Two-level: a supercluster slab test skips `super_branch`
-                # clusters of scalar loop overhead at a time.
+                # with the BLOCK axis outer on the grid (scene bytes read
+                # once per call, not once per ray tile) instead of
+                # dropping to the 4x-slower XLA scan.  Two-level: a
+                # supercluster slab test skips `super_branch` clusters of
+                # scalar loop overhead at a time.
                 from tpu_pathtracer.ops.intersect_pallas import (
-                    intersect_clusters_pallas_streamed2,
+                    intersect_clusters_pallas_streamed,
                 )
 
-                best_t, best_prim, bary = intersect_clusters_pallas_streamed2(
+                best_t, best_prim, bary = intersect_clusters_pallas_streamed(
                     self.tris16,
                     self.aabb8,
                     origins,
                     directions,
                     t_min=float(t_min),
                     t_max=float(t_max),
-                    branch=self.super_branch,
+                    rays_per_tile=self._rpt(cfg),
+                    # The streamed kernel builds its own supergroups
+                    # (_streamed_pads), so branch is a free per-call knob:
+                    # 16 measured best on the 98k field (16.05 vs 16.64 ms
+                    # at br8; tools/probe_streamed.py).
+                    branch=2 * self.super_branch,
                 )
             if sort:
                 # Un-permute via ONE small-table gather (pack the four
@@ -264,7 +270,8 @@ class ClusterAccel:
                 occ = occluded_clusters_pallas_streamed(
                     self.tris16, self.aabb8, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
-                    branch=self.super_branch,
+                    rays_per_tile=self._rpt(cfg),
+                    branch=2 * self.super_branch,   # see intersect() note
                 )
             return restore(occ) if sort else occ
         return self._occluded_xla(vertices, origins, directions, t_min, t_max)

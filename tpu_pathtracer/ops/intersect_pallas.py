@@ -802,192 +802,39 @@ def occluded_clusters_pallas(
     return occ[0, :n] > 0
 
 
-def _cluster_kernel_streamed(
-    aabb_ref,    # SMEM [C,8] f32 (ALL clusters; tiny)
-    rays_ref,    # VMEM (8,R) f32
-    tris_ref,    # VMEM [CB,K,16] f32 — THIS grid step's cluster block
-    t_ref,       # VMEM out (1,R) f32
-    prim_ref,    # VMEM out (1,R) i32
-    uv_ref,      # VMEM out (2,R) f32
-    t_acc,       # VMEM scratch (1,R) f32 — persists across the j axis
-    p_acc,
-    u_acc,
-    v_acc,
-    *,
-    num_clusters: int,
-    block_clusters: int,
-    num_blocks: int,
-    cluster_k: int,
-    t_min: float,
-    t_max: float,
-):
-    """HBM-streamed variant of _cluster_kernel for scenes whose cluster
-    data exceeds the VMEM budget (VERDICT r1 weak #5: the 6 MB cap used
-    to silently drop ~100k-triangle scenes to the 4x-slower XLA scan).
-
-    The grid is (ray_tiles, cluster_blocks) with the block axis minor:
-    Pallas streams each [CB,K,16] block HBM->VMEM and double-buffers the
-    copy against compute automatically — the guide's DMA pattern with no
-    hand-written DMA.  Accumulators live in scratch, which persists
-    across grid steps: initialised at j==0, written out at j==last.
-    Front-to-back octant ordering degrades to block-sequential order
-    (best-t culling still prunes within and across blocks)."""
-    j = pl.program_id(1)
-
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-
-    big = jnp.float32(3.4e38)
-    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
-    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
-    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
-
-    @pl.when(j == 0)
-    def _():
-        t_acc[:] = jnp.full_like(t_acc, t_max)
-        p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
-        u_acc[:] = jnp.zeros_like(u_acc)
-        v_acc[:] = jnp.zeros_like(v_acc)
-
-    def visit(local, _):
-        c = j * block_clusters + local
-        bminx = aabb_ref[c, 0]
-        bminy = aabb_ref[c, 1]
-        bminz = aabb_ref[c, 2]
-        bmaxx = aabb_ref[c, 3]
-        bmaxy = aabb_ref[c, 4]
-        bmaxz = aabb_ref[c, 5]
-
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        best_t = t_acc[:]
-        overlap = (
-            (tnear <= tfar)
-            & (tfar >= t_min)
-            & (tnear <= best_t)
-            & (c < num_clusters)
-        )
-
-        @pl.when(jnp.any(overlap))
-        def _():
-            tri = tris_ref[local]                      # (K,16)
-            v0x = tri[:, 0:1]
-            v0y = tri[:, 1:2]
-            v0z = tri[:, 2:3]
-            e1x = tri[:, 3:4]
-            e1y = tri[:, 4:5]
-            e1z = tri[:, 5:6]
-            e2x = tri[:, 6:7]
-            e2y = tri[:, 7:8]
-            e2z = tri[:, 8:9]
-
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > t_min)
-                & (t < t_max)
-            )
-            tc = jnp.where(ok, t, jnp.float32(jnp.inf))
-            t_blk = jnp.min(tc, axis=0, keepdims=True)
-            gid = c * cluster_k + jax.lax.broadcasted_iota(
-                jnp.int32, tc.shape, 0
-            )
-            prim_blk = jnp.min(
-                jnp.where(tc == t_blk, gid, _BIG_PRIM), axis=0, keepdims=True
-            )
-            win = gid == prim_blk
-            u_blk = jnp.min(jnp.where(win, u, jnp.float32(jnp.inf)),
-                            axis=0, keepdims=True)
-            v_blk = jnp.min(jnp.where(win, v, jnp.float32(jnp.inf)),
-                            axis=0, keepdims=True)
-            best = t_acc[:]
-            improved = t_blk < best
-            t_acc[:] = jnp.where(improved, t_blk, best)
-            p_acc[:] = jnp.where(improved, prim_blk, p_acc[:])
-            u_acc[:] = jnp.where(improved, u_blk, u_acc[:])
-            v_acc[:] = jnp.where(improved, v_blk, v_acc[:])
-
-        return 0
-
-    jax.lax.fori_loop(0, block_clusters, visit, 0)
-
-    @pl.when(j == num_blocks - 1)
-    def _():
-        t_ref[:] = t_acc[:]
-        prim_ref[:] = p_acc[:]
-        uv_ref[0:1, :] = u_acc[:]
-        uv_ref[1:2, :] = v_acc[:]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "rays_per_tile", "block_clusters", "t_min", "t_max", "interpret"
-    ),
-)
-def intersect_clusters_pallas_streamed(
-    tris16: jnp.ndarray,    # [C,K,16] f32
-    aabbs: jnp.ndarray,     # [C,8] f32
-    origins: jnp.ndarray,   # [N,3]
-    directions: jnp.ndarray,
-    t_min: float = 0.01,
-    t_max: float = 1e16,
-    rays_per_tile: int = 1024,
-    block_clusters: int = 16,
-    interpret: bool = False,
-):
-    """Streamed closest-hit for scenes beyond the VMEM cluster budget.
-
-    Returns (best_t [N], best_prim [N] — 0x7FFFFFFF on miss, bary [N,2]).
-    Bigger ray tiles amortise the HBM re-streaming of the scene (every
-    tile reads every cluster block once)."""
-    n = origins.shape[0]
+def _streamed_pads(tris16, aabbs, block_clusters, branch):
+    """Pad clusters to a block multiple and build branch-group supers over
+    the PADDED range.  Padding clusters are far point boxes; a boundary
+    group mixing real and padding children gets a giant (but harmless)
+    box — its children are still individually slab-culled."""
     c, k, _ = tris16.shape
-    cb = min(block_clusters, c)
+    cb = min(block_clusters, max(branch, -(-c // branch) * branch))
+    cb = max(cb, branch)
+    if cb % branch:
+        cb = -(-cb // branch) * branch
     c_pad = -(-c // cb) * cb
     if c_pad > c:
         pad = jnp.zeros((c_pad - c, k, 16), tris16.dtype)
         tris16 = jnp.concatenate([tris16, pad], axis=0)
-        # Padding clusters are far POINT boxes (the slab test is
-        # order-agnostic, so an "inverted" min>max box would behave like
-        # a real box spanning the corners); the c < num_clusters guard
-        # in the kernel makes them harmless either way.
         apad = jnp.full((c_pad - c, 8), 3.0e37, aabbs.dtype)
         aabbs = jnp.concatenate([aabbs, apad], axis=0)
-    nblocks = c_pad // cb
+    s = c_pad // branch
+    groups = aabbs.reshape(s, branch, 8)
+    supers = jnp.concatenate(
+        [
+            groups[:, :, 0:3].min(axis=1),
+            groups[:, :, 3:6].max(axis=1),
+            jnp.zeros((s, 2), aabbs.dtype),
+        ],
+        axis=-1,
+    )
+    return tris16, aabbs, supers, cb, c_pad
 
+
+def _streamed_rays(origins, directions, rays_per_tile):
+    """Pack [N,3]+[N,3] rays into (tiles, 8, r) f32 tiles (pads are far
+    parallel rays that never hit)."""
+    n = origins.shape[0]
     r = rays_per_tile
     n_pad = -(-n // r) * r
     rays = jnp.zeros((8, n_pad), jnp.float32)
@@ -996,57 +843,23 @@ def intersect_clusters_pallas_streamed(
     if n_pad > n:
         rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
     tiles = n_pad // r
-
-    kernel = functools.partial(
-        _cluster_kernel_streamed,
-        num_clusters=c,
-        block_clusters=cb,
-        num_blocks=nblocks,
-        cluster_k=k,
-        t_min=t_min,
-        t_max=t_max,
-    )
-    best_t, best_prim, best_uv = pl.pallas_call(
-        kernel,
-        grid=(tiles, nblocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # aabbs
-            pl.BlockSpec((8, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (cb, k, 16), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, r), jnp.float32),
-            pltpu.VMEM((1, r), jnp.int32),
-            pltpu.VMEM((1, r), jnp.float32),
-            pltpu.VMEM((1, r), jnp.float32),
-        ],
-        compiler_params=_vmem_params(cb * k * 16 * 4, r, k),
-        interpret=interpret,
-    )(aabbs, rays, tris16)
-    return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
+    return rays.reshape(8, tiles, r).transpose(1, 0, 2), tiles, n_pad
 
 
-def _cluster_kernel_streamed2(
-    aabbs_s,     # SMEM [Sp,8] f32: supercluster bounds (branch-groups of
-    #              the PADDED cluster range; boundary groups that mix real
-    #              and padding children get a giant box — see wrapper)
+def _cluster_kernel_streamed(
+    aabbs_s,     # SMEM [Sp,8] f32 supercluster bounds (padded range)
     aabb_ref,    # SMEM [Cp,8] f32 (ALL clusters, padded; tiny)
-    rays_ref,    # VMEM (8,R) f32
-    tris_ref,    # VMEM [CB,K,16] f32 — THIS grid step's cluster block
-    t_ref, prim_ref, uv_ref,
-    t_acc, p_acc, u_acc, v_acc,
+    rays_ref,    # VMEM (1,8,R) f32 — tile i's rays
+    tris_ref,    # VMEM [CB,K,16] f32 — block j's clusters, fetched ONCE
+    #              per block: j is the OUTER grid axis, so consecutive
+    #              steps share the same block index and Pallas skips the
+    #              copy — the whole scene streams HBM->VMEM once per
+    #              CALL, not once per ray tile
+    t_ref, prim_ref, uv_ref,   # out blocks (1,1,R)x2 / (1,2,R)
+    t_acc,       # VMEM scratch (tiles,R) f32 — per-TILE accumulator rows
+    p_acc,       # VMEM scratch (tiles,R) i32   persisting across the
+    u_acc,       # VMEM scratch (tiles,R) f32   whole grid (~16 B/lane)
+    v_acc,       # VMEM scratch (tiles,R) f32
     *,
     num_clusters: int,
     block_clusters: int,
@@ -1056,25 +869,35 @@ def _cluster_kernel_streamed2(
     t_min: float,
     t_max: float,
 ):
-    """Two-level HBM-streamed closest hit (VERDICT r2 next-round #3).
+    """Block-major two-level HBM-streamed closest hit.
 
-    Same streaming layout as _cluster_kernel_streamed (grid =
-    (ray_tiles, cluster_blocks), block axis minor, scratch accumulators
-    persisting across the block axis), but clusters are visited through
-    a supercluster level: ONE scalar slab test skips `branch`
-    Morton-consecutive clusters.  On big scenes the flat streamed loop
-    is dominated by per-cluster scalar overhead (SMEM reads + branch per
-    cluster x every ray tile), exactly like the in-VMEM flat kernel was
-    before _cluster_kernel_hier."""
-    j = pl.program_id(1)
+    Grid = (cluster_blocks, ray_tiles) with the BLOCK axis outer: the
+    big operand (the triangle block) is the slow-moving index, so scene
+    bytes stream exactly once per call; the per-step copy is one ray
+    tile, and each tile's running best hit lives in a scratch row
+    indexed by the tile id.  The earlier tile-major layout (block axis
+    minor) re-streamed the entire scene for every ray tile — 128 tiles x
+    6.3 MB = 0.8 GB per call on the 98k scene — and measured 1.5x slower
+    (25.2 -> 16.7 ms/iter, v5e; docs/perf_notes.md round 3).  A per-
+    sub-span slab gate (mt_sub) was also measured and REFUTED: splitting
+    the 512-lane tile into 2/4/8 slab-gated spans cost more in extra
+    scalar slab loops than the skipped Möller–Trumbore work saved
+    (16.7 -> 17.1/22.7/27.6 ms).
+
+    Two-level visit as in the in-VMEM hier kernel: one scalar slab test
+    skips `branch` Morton-consecutive clusters at a time."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
     supers_per_block = block_clusters // branch
+    row = pl.ds(i, 1)
 
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    ox = rays_ref[0, 0:1, :]
+    oy = rays_ref[0, 1:2, :]
+    oz = rays_ref[0, 2:3, :]
+    dx = rays_ref[0, 3:4, :]
+    dy = rays_ref[0, 4:5, :]
+    dz = rays_ref[0, 5:6, :]
+    w = ox.shape[1]
 
     big = jnp.float32(3.4e38)
     ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
@@ -1083,10 +906,10 @@ def _cluster_kernel_streamed2(
 
     @pl.when(j == 0)
     def _():
-        t_acc[:] = jnp.full_like(t_acc, t_max)
-        p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
-        u_acc[:] = jnp.zeros_like(u_acc)
-        v_acc[:] = jnp.zeros_like(v_acc)
+        t_acc[row, :] = jnp.full((1, w), t_max, jnp.float32)
+        p_acc[row, :] = jnp.full((1, w), _BIG_PRIM, jnp.int32)
+        u_acc[row, :] = jnp.zeros((1, w), jnp.float32)
+        v_acc[row, :] = jnp.zeros((1, w), jnp.float32)
 
     def slab(ref, idx):
         bminx = ref[idx, 0]
@@ -1109,7 +932,7 @@ def _cluster_kernel_streamed2(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[:])
+        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[row, :])
 
     def visit_super(g, _):
         s = j * supers_per_block + g
@@ -1173,12 +996,12 @@ def _cluster_kernel_streamed2(
                         jnp.where(win, v, jnp.float32(jnp.inf)),
                         axis=0, keepdims=True,
                     )
-                    best = t_acc[:]
+                    best = t_acc[row, :]
                     improved = t_blk < best
-                    t_acc[:] = jnp.where(improved, t_blk, best)
-                    p_acc[:] = jnp.where(improved, prim_blk, p_acc[:])
-                    u_acc[:] = jnp.where(improved, u_blk, u_acc[:])
-                    v_acc[:] = jnp.where(improved, v_blk, v_acc[:])
+                    t_acc[row, :] = jnp.where(improved, t_blk, best)
+                    p_acc[row, :] = jnp.where(improved, prim_blk, p_acc[row, :])
+                    u_acc[row, :] = jnp.where(improved, u_blk, u_acc[row, :])
+                    v_acc[row, :] = jnp.where(improved, v_blk, v_acc[row, :])
 
                 return 0
 
@@ -1190,19 +1013,110 @@ def _cluster_kernel_streamed2(
 
     @pl.when(j == num_blocks - 1)
     def _():
-        t_ref[:] = t_acc[:]
-        prim_ref[:] = p_acc[:]
-        uv_ref[0:1, :] = u_acc[:]
-        uv_ref[1:2, :] = v_acc[:]
+        t_ref[0, 0:1, :] = t_acc[row, :]
+        prim_ref[0, 0:1, :] = p_acc[row, :]
+        uv_ref[0, 0:1, :] = u_acc[row, :]
+        uv_ref[0, 1:2, :] = v_acc[row, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rays_per_tile", "block_clusters", "branch", "t_min", "t_max",
+        "interpret",
+    ),
+)
+def intersect_clusters_pallas_streamed(
+    tris16: jnp.ndarray,    # [C,K,16] f32
+    aabbs: jnp.ndarray,     # [C,8] f32
+    origins: jnp.ndarray,   # [N,3]
+    directions: jnp.ndarray,
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    rays_per_tile: int = 512,
+    block_clusters: int = 96,
+    branch: int = 8,
+    interpret: bool = False,
+):
+    """Block-major two-level streamed closest hit for scenes beyond the
+    VMEM cluster budget (see _cluster_kernel_streamed for the grid-order
+    rationale; defaults measured on the 98k sphere field, v5e).
+
+    Returns (best_t [N], best_prim [N] — 0x7FFFFFFF on miss, bary [N,2])."""
+    n = origins.shape[0]
+    _, k, _ = tris16.shape
+    c = tris16.shape[0]
+    tris16, aabbs, supers, cb, c_pad = _streamed_pads(
+        tris16, aabbs, block_clusters, branch
+    )
+    nblocks = c_pad // cb
+    r = rays_per_tile
+    rays, tiles, n_pad = _streamed_rays(origins, directions, r)
+
+    kernel = functools.partial(
+        _cluster_kernel_streamed,
+        num_clusters=c,
+        block_clusters=cb,
+        num_blocks=nblocks,
+        cluster_k=k,
+        branch=branch,
+        t_min=t_min,
+        t_max=t_max,
+    )
+    # Blocked trailing dims must be (8,128)-divisible or whole, so the
+    # tile axis leads everywhere: ray blocks are full (8,R) planes and
+    # out blocks full (1,R)/(2,R) planes of (tiles,*,R) arrays.
+    best_t, best_prim, best_uv = pl.pallas_call(
+        kernel,
+        grid=(nblocks, tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # supers
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # aabbs
+            pl.BlockSpec(
+                (1, 8, r), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cb, k, 16), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, r), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, r), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2, r), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, 1, r), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, 2, r), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tiles, r), jnp.float32),
+            pltpu.VMEM((tiles, r), jnp.int32),
+            pltpu.VMEM((tiles, r), jnp.float32),
+            pltpu.VMEM((tiles, r), jnp.float32),
+        ],
+        compiler_params=_vmem_params(cb * k * 16 * 4 + 16 * n_pad, r, k),
+        interpret=interpret,
+    )(supers, aabbs, rays, tris16)
+    t_flat = best_t.reshape(n_pad)[:n]
+    p_flat = best_prim.reshape(n_pad)[:n]
+    uv_flat = best_uv.transpose(0, 2, 1).reshape(n_pad, 2)[:n]
+    return t_flat, p_flat, uv_flat
 
 
 def _occlusion_kernel_streamed(
     aabbs_s,     # SMEM [Sp,8] f32
     aabb_ref,    # SMEM [Cp,8] f32
-    rays_ref,    # VMEM (8,R) f32
+    rays_ref,    # VMEM (1,8,R) f32
     tris_ref,    # VMEM [CB,K,16] f32
-    occ_ref,     # VMEM out (1,R) i32
-    occ_acc,     # VMEM scratch (1,R) i32 — persists across the block axis
+    occ_ref,     # out block (1,1,R) i32
+    occ_acc,     # VMEM scratch (tiles,R) i32 — per-tile rows
     *,
     num_clusters: int,
     block_clusters: int,
@@ -1211,21 +1125,24 @@ def _occlusion_kernel_streamed(
     t_min: float,
     t_max: float,
 ):
-    """HBM-streamed two-level any-hit (the occlusion analog of
-    _cluster_kernel_streamed2 — closes ADVICE r2 #5 / VERDICT r2 #3:
-    NEE shadow rays on big scenes used to re-pay the full closest-hit
-    streamed kernel).  The block's whole compute is skipped once every
-    ray in the packet is occluded (the DMA still streams — the grid is
-    fixed — but the slab/triangle work vanishes)."""
-    j = pl.program_id(1)
+    """Block-major HBM-streamed two-level any-hit (the occlusion analog
+    of _cluster_kernel_streamed): NEE shadow rays on big scenes skip
+    distance ordering and prim/bary tracking, and a tile's whole
+    compute is skipped once every ray in it is occluded (the DMA still
+    streams — the grid is fixed — but the slab/triangle work
+    vanishes)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
     supers_per_block = block_clusters // branch
+    row = pl.ds(i, 1)
 
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    ox = rays_ref[0, 0:1, :]
+    oy = rays_ref[0, 1:2, :]
+    oz = rays_ref[0, 2:3, :]
+    dx = rays_ref[0, 3:4, :]
+    dy = rays_ref[0, 4:5, :]
+    dz = rays_ref[0, 5:6, :]
+    w = ox.shape[1]
 
     big = jnp.float32(3.4e38)
     ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
@@ -1234,7 +1151,7 @@ def _occlusion_kernel_streamed(
 
     @pl.when(j == 0)
     def _():
-        occ_acc[:] = jnp.zeros_like(occ_acc)
+        occ_acc[row, :] = jnp.zeros((1, w), jnp.int32)
 
     def slab(ref, idx, live):
         bminx = ref[idx, 0]
@@ -1259,19 +1176,19 @@ def _occlusion_kernel_streamed(
         )
         return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
 
-    @pl.when(jnp.min(occ_acc[:]) == 0)
+    @pl.when(jnp.min(occ_acc[row, :]) == 0)
     def _():
         def visit_super(g, _):
             s = j * supers_per_block + g
 
-            @pl.when(jnp.any(slab(aabbs_s, s, occ_acc[:] == 0)))
+            @pl.when(jnp.any(slab(aabbs_s, s, occ_acc[row, :] == 0)))
             def _():
                 def child(jj, _):
                     local = g * branch + jj
                     c = j * block_clusters + local
 
                     @pl.when(
-                        jnp.any(slab(aabb_ref, c, occ_acc[:] == 0))
+                        jnp.any(slab(aabb_ref, c, occ_acc[row, :] == 0))
                         & (c < num_clusters)
                     )
                     def _():
@@ -1311,8 +1228,8 @@ def _occlusion_kernel_streamed(
                             & (t < t_max)
                         )
                         hit_any = jnp.any(ok, axis=0, keepdims=True)
-                        occ_acc[:] = jnp.maximum(
-                            occ_acc[:], hit_any.astype(jnp.int32)
+                        occ_acc[row, :] = jnp.maximum(
+                            occ_acc[row, :], hit_any.astype(jnp.int32)
                         )
 
                     return 0
@@ -1325,117 +1242,7 @@ def _occlusion_kernel_streamed(
 
     @pl.when(j == num_blocks - 1)
     def _():
-        occ_ref[:] = occ_acc[:]
-
-
-def _streamed_pads(tris16, aabbs, block_clusters, branch):
-    """Pad clusters to a block multiple and build branch-group supers over
-    the PADDED range.  Padding clusters are far point boxes; a boundary
-    group mixing real and padding children gets a giant (but harmless)
-    box — its children are still individually slab-culled."""
-    c, k, _ = tris16.shape
-    cb = min(block_clusters, max(branch, -(-c // branch) * branch))
-    cb = max(cb, branch)
-    if cb % branch:
-        cb = -(-cb // branch) * branch
-    c_pad = -(-c // cb) * cb
-    if c_pad > c:
-        pad = jnp.zeros((c_pad - c, k, 16), tris16.dtype)
-        tris16 = jnp.concatenate([tris16, pad], axis=0)
-        apad = jnp.full((c_pad - c, 8), 3.0e37, aabbs.dtype)
-        aabbs = jnp.concatenate([aabbs, apad], axis=0)
-    s = c_pad // branch
-    groups = aabbs.reshape(s, branch, 8)
-    supers = jnp.concatenate(
-        [
-            groups[:, :, 0:3].min(axis=1),
-            groups[:, :, 3:6].max(axis=1),
-            jnp.zeros((s, 2), aabbs.dtype),
-        ],
-        axis=-1,
-    )
-    return tris16, aabbs, supers, cb, c_pad
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "rays_per_tile", "block_clusters", "branch", "t_min", "t_max",
-        "interpret",
-    ),
-)
-def intersect_clusters_pallas_streamed2(
-    tris16: jnp.ndarray,    # [C,K,16] f32
-    aabbs: jnp.ndarray,     # [C,8] f32
-    origins: jnp.ndarray,   # [N,3]
-    directions: jnp.ndarray,
-    t_min: float = 0.01,
-    t_max: float = 1e16,
-    rays_per_tile: int = 1024,
-    block_clusters: int = 32,
-    branch: int = 8,
-    interpret: bool = False,
-):
-    """Two-level streamed closest hit; same returns as
-    intersect_clusters_pallas_streamed."""
-    n = origins.shape[0]
-    _, k, _ = tris16.shape
-    c = tris16.shape[0]
-    tris16, aabbs, supers, cb, c_pad = _streamed_pads(
-        tris16, aabbs, block_clusters, branch
-    )
-    nblocks = c_pad // cb
-
-    r = rays_per_tile
-    n_pad = -(-n // r) * r
-    rays = jnp.zeros((8, n_pad), jnp.float32)
-    rays = rays.at[0:3, :n].set(origins.T)
-    rays = rays.at[3:6, :n].set(directions.T)
-    if n_pad > n:
-        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
-    tiles = n_pad // r
-
-    kernel = functools.partial(
-        _cluster_kernel_streamed2,
-        num_clusters=c,
-        block_clusters=cb,
-        num_blocks=nblocks,
-        cluster_k=k,
-        branch=branch,
-        t_min=t_min,
-        t_max=t_max,
-    )
-    best_t, best_prim, best_uv = pl.pallas_call(
-        kernel,
-        grid=(tiles, nblocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # supers
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # aabbs
-            pl.BlockSpec((8, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (cb, k, 16), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, r), jnp.float32),
-            pltpu.VMEM((1, r), jnp.int32),
-            pltpu.VMEM((1, r), jnp.float32),
-            pltpu.VMEM((1, r), jnp.float32),
-        ],
-        compiler_params=_vmem_params(cb * k * 16 * 4, r, k),
-        interpret=interpret,
-    )(supers, aabbs, rays, tris16)
-    return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
+        occ_ref[0, 0:1, :] = occ_acc[row, :]
 
 
 @functools.partial(
@@ -1452,12 +1259,14 @@ def occluded_clusters_pallas_streamed(
     directions: jnp.ndarray,
     t_min: float = 0.01,
     t_max: float = 1e16,
-    rays_per_tile: int = 1024,
-    block_clusters: int = 32,
+    rays_per_tile: int = 512,
+    block_clusters: int = 96,
     branch: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """HBM-streamed two-level any-hit; returns occluded [N] bool."""
+    """Block-major HBM-streamed two-level any-hit; returns occluded [N]
+    bool (closes ADVICE r2 #5 / VERDICT r2 #3: NEE shadow rays on big
+    scenes used to re-pay the full closest-hit streamed kernel)."""
     n = origins.shape[0]
     _, k, _ = tris16.shape
     c = tris16.shape[0]
@@ -1465,15 +1274,8 @@ def occluded_clusters_pallas_streamed(
         tris16, aabbs, block_clusters, branch
     )
     nblocks = c_pad // cb
-
     r = rays_per_tile
-    n_pad = -(-n // r) * r
-    rays = jnp.zeros((8, n_pad), jnp.float32)
-    rays = rays.at[0:3, :n].set(origins.T)
-    rays = rays.at[3:6, :n].set(directions.T)
-    if n_pad > n:
-        rays = rays.at[0, n:].set(3.0e37).at[3, n:].set(1.0)
-    tiles = n_pad // r
+    rays, tiles, n_pad = _streamed_rays(origins, directions, r)
 
     kernel = functools.partial(
         _occlusion_kernel_streamed,
@@ -1486,24 +1288,30 @@ def occluded_clusters_pallas_streamed(
     )
     occ = pl.pallas_call(
         kernel,
-        grid=(tiles, nblocks),
+        grid=(nblocks, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (cb, k, 16), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, r), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cb, k, 16), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, r), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((1, r), jnp.int32)],
-        compiler_params=_vmem_params(cb * k * 16 * 4, r, k),
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tiles, r), jnp.int32)],
+        compiler_params=_vmem_params(cb * k * 16 * 4 + 4 * n_pad, r, k),
         interpret=interpret,
     )(supers, aabbs, rays, tris16)[0]
-    return occ[0, :n] > 0
+    return occ.reshape(n_pad)[:n] > 0
+
+
 
 
 def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
