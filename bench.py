@@ -27,7 +27,7 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--spp", type=int, default=10, help="samples per launch (reference: 10)")
-    ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"])
+    ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
     ap.add_argument("--nee", action="store_true", help="env importance sampling (config-3 'GGX + env importance sampling' fidelity)")
     ap.add_argument("--pixel-order", default="auto", choices=["auto", "scanline", "tiled"])

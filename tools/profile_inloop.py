@@ -208,6 +208,7 @@ def main():
         return body
 
     measure("full bounce kernel", k_bounce(cfgK))
+    measure("full bounce deferred", k_bounce(cfgK.replace(deferred_shade=True)))
     measure("full bounce brute", k_bounce(cfgB))
 
     # ---- NEE adders: occlusion pass alone, then the full NEE bounce ------

@@ -1,12 +1,9 @@
 from tpu_pathtracer.accel.build import build_accel, morton_order
 from tpu_pathtracer.accel.cluster import ClusterAccel, build_cluster_accel
-from tpu_pathtracer.accel.lbvh import LBVH, build_lbvh
 
 __all__ = [
     "build_accel",
     "morton_order",
     "ClusterAccel",
     "build_cluster_accel",
-    "LBVH",
-    "build_lbvh",
 ]

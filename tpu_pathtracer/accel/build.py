@@ -61,15 +61,17 @@ def build_accel_arrays(vertices: np.ndarray, kind: str = "cluster", **kw):
     per-triangle array, and the accel structure for the permuted order.
     """
     from tpu_pathtracer.accel.cluster import build_cluster_accel
-    from tpu_pathtracer.accel.lbvh import build_lbvh
 
     perm = morton_order(vertices)
     permuted = np.ascontiguousarray(vertices[perm])
     if kind == "cluster":
         accel = build_cluster_accel(permuted, **kw)
-    elif kind == "bvh":
-        accel = build_lbvh(permuted, **kw)
     else:
+        # A threaded LBVH (kind="bvh") existed through round 2; per-ray
+        # stackless traversal measured 24,813 ns/ray vs the cluster
+        # kernel's 127 on the 98k field (v5e) — per-lane gathers are
+        # ~200x off the packet kernel.  Removed; docs/perf_notes.md
+        # round 3 records the numbers.
         raise ValueError(f"unknown accel kind: {kind!r}")
     return perm, accel
 
@@ -77,7 +79,7 @@ def build_accel_arrays(vertices: np.ndarray, kind: str = "cluster", **kw):
 def build_accel(scene, kind: str = "cluster", **kw):
     """Permute `scene` into Morton order and attach an accel structure.
 
-    Returns a new Scene with `.accel` set.  kind: "cluster" | "bvh".
+    Returns a new Scene with `.accel` set.  kind: "cluster".
 
     NOTE: this round-trips the geometry device->host.  When building a
     scene from files prefer `scene.builder.load_scene(..., accel=kind)`,

@@ -39,7 +39,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--lookat", default="0,0,0", help="camera look-at")
     p.add_argument("--fov", type=float, default=50.0, help="vertical FOV degrees")
     p.add_argument("--dof", action=argparse.BooleanOptionalAction, default=True, help="thin-lens depth of field (reference default on)")
-    p.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster", "bvh"], help="intersection structure (auto = brute for small scenes, cluster otherwise)")
+    p.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster"], help="intersection structure (auto = brute for small scenes, cluster otherwise)")
     p.add_argument("--materials", default="convention", choices=["convention", "mtl"], help="material source for OBJ scenes")
     p.add_argument("--rr-mode", default="reference", choices=["reference", "standard"])
     p.add_argument("--texture-lod", default="auto", choices=["auto", "off", "mip", "split"], help="texture mip policy for big texture pools (config.texture_lod)")

@@ -106,7 +106,7 @@ class RenderConfig:
     tile_pixels: int = 0
     # Triangle-block size for the blocked brute-force intersector.
     intersect_block: int = 256
-    # Which intersector: "auto" | "brute" | "cluster" | "bvh"
+    # Which intersector: "auto" | "brute" | "cluster"
     intersector: str = "auto"
     # Route cluster intersection through the Pallas packet-traversal
     # kernel (ops/intersect_pallas): rays sorted by (origin cell, octant),
@@ -216,7 +216,7 @@ class RenderConfig:
             )
         if self.env_mode not in ("equirect", "sunsky", "constant"):
             raise ValueError(f"invalid env_mode: {self.env_mode!r}")
-        if self.intersector not in ("auto", "brute", "cluster", "bvh"):
+        if self.intersector not in ("auto", "brute", "cluster"):
             raise ValueError(f"invalid intersector: {self.intersector!r}")
         if self.pixel_order not in ("auto", "scanline", "tiled"):
             raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")

@@ -11,7 +11,7 @@ render constant — in C++ sources.  A scene file captures all of it:
     material_source = "convention"           # or "mtl"
     add_floor = true
     rng_seed = 0
-    accel = "cluster"                        # cluster | lbvh | none
+    accel = "cluster"                        # cluster | none
 
     [environment]
     mode = "equirect"                        # equirect | sunsky | constant
