@@ -153,7 +153,17 @@ def main() -> int:
     # on axon).  Gate on non-black output: a silently broken kernel path
     # renders black AND terminates paths instantly, making every timing
     # look fantastic (see docs/perf_notes.md, TPU NaN-payload hazard).
-    warm = render_frame(scene, cam, cfg, jnp.int32(0))
+    try:
+        warm = render_frame(scene, cam, cfg, jnp.int32(0))
+        float(warm.max())
+    except Exception as e:  # noqa: BLE001 — filtered, then re-raised
+        # Scoped-VMEM model miss (see config.vmem_headroom): retry once
+        # with doubled headroom before giving up.
+        msg = str(e).lower()
+        if not ("vmem" in msg or "resource_exhausted" in msg):
+            raise
+        cfg = cfg.replace(vmem_headroom=2.0)
+        warm = render_frame(scene, cam, cfg, jnp.int32(0))
     if not (float(warm.max()) > 0.0):
         print(json.dumps({"error": "black render — refusing to benchmark"}))
         return 1

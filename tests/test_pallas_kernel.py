@@ -153,6 +153,32 @@ def test_streamed_kernel_matches_brute(clustered):
     assert hit.sum() > 40
 
 
+def test_vmem_headroom_is_output_neutral(clustered):
+    # cfg.vmem_headroom only scales the scoped-VMEM compile budget (the
+    # cli/bench OOM-retry path, config.vmem_headroom): results must be
+    # bitwise identical at any headroom.
+    from tpu_pathtracer.ops.intersect_pallas import (
+        intersect_clusters_pallas_streamed,
+    )
+
+    rs = np.random.RandomState(9)
+    n = 100
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    a = intersect_clusters_pallas_streamed(
+        acc.tris16, acc.aabb8, o, d, 0.01, 1e16,
+        rays_per_tile=128, block_clusters=4, branch=2, interpret=True,
+    )
+    b = intersect_clusters_pallas_streamed(
+        acc.tris16, acc.aabb8, o, d, 0.01, 1e16,
+        rays_per_tile=128, block_clusters=4, branch=2, interpret=True,
+        vmem_headroom=2.0,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_streamed_occlusion_matches_brute(clustered):
     # Streamed two-level any-hit (big-scene NEE shadow rays) vs brute.
     from tpu_pathtracer.ops.intersect import occluded_brute

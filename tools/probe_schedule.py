@@ -70,13 +70,30 @@ def main():
         assert s > 0.0
         return best
 
-    measure("default (fifo4/flush32)", base)
-    measure("fifo2/flush16", base.replace(fifo_depth=2, flush_every=16))
-    measure("fifo8/flush64", base.replace(fifo_depth=8, flush_every=64))
-    measure("fifo1/flush8", base.replace(fifo_depth=1, flush_every=8))
-    measure("lanes 65536", base.replace(stream_lanes=65536))
-    measure("lanes 262144", base.replace(stream_lanes=262144))
-    measure("sort off", base.replace(sort_rays="off"))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", default="fifo", choices=["fifo", "main"])
+    args = ap.parse_args()
+
+    if args.set == "fifo":
+        # Round-3 measurements (v5e, suitcase 1080p 10spp depth8):
+        #   default fifo4/flush32  2.152 s/launch  9.28 ms/iter  13.8 M/s
+        #   fifo2/flush16          2.320           10.00         12.8
+        # (eager, un-jitted launches measured 2-5x worse and unstable —
+        # always measure through one jitted launch.)
+        measure("default (fifo4/flush32)", base)
+        measure("fifo2/flush16", base.replace(fifo_depth=2, flush_every=16))
+        measure("fifo8/flush64", base.replace(fifo_depth=8, flush_every=64))
+        measure("lanes 65536", base.replace(stream_lanes=65536))
+        measure("lanes 262144", base.replace(stream_lanes=262144))
+    else:
+        from tpu_pathtracer.render.envmap import with_importance_sampling
+
+        measure("default", base)
+        measure("sort off", base.replace(sort_rays="off"))
+        scene = scene.replace(env=with_importance_sampling(scene.env))
+        nee = base.replace(env_importance_sampling=True, rr_mode="standard")
+        measure("nee (nosort shadow)", nee)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--lanes", type=int, default=262144)
     ap.add_argument("--scene", default="suitcase")
     ap.add_argument("--k", type=int, default=6)
+    ap.add_argument("--only", default="", help="substring filter on probe names")
     args = ap.parse_args()
 
     from tpu_pathtracer.utils.logging import enable_compile_cache
@@ -102,6 +103,8 @@ def main():
     def measure(name, body):
         """body(scene, o, d, seeds) -> (o', d', seeds') with MEANINGFUL
         feedback (o' must differ from o by > ulp)."""
+        if args.only and args.only not in name:
+            return None
 
         def loop(sc, o, d, s, saltv, iters):
             def step(i, st):
@@ -141,6 +144,7 @@ def main():
         return body
 
     measure("intersect kernel", intersect_only(cfgK))
+    measure("intersect nosort", intersect_only(cfgK.replace(sort_rays="off")))
     measure("intersect brute", intersect_only(cfgB))
 
     # ---- + attribute lookups -------------------------------------------
@@ -222,6 +226,13 @@ def main():
         occ = occluded_scene(sc, o, d, 0.01, 1e16, cfgK)
         return (o + 0.001 * d + 1e-5 * occ[:, None].astype(jnp.float32), d, s)
 
+    def k_occl_nosort(sc, o, d, s):
+        # NEE shadow rays start at the (already sorted) hit points: does
+        # the second spatial sort inside occluded_scene pay for itself?
+        occ = occluded_scene(sc, o, d, 0.01, 1e16,
+                             cfgK.replace(sort_rays="off"))
+        return (o + 0.001 * d + 1e-5 * occ[:, None].astype(jnp.float32), d, s)
+
     def k_alias(sc, o, d, s):
         s, u1, u2 = rng.uniform2(s)
         s, u3, u4 = rng.uniform2(s)
@@ -239,6 +250,7 @@ def main():
     scene_sv = scene
     scene = scene_is  # measure() closes over `scene`
     measure("occluded pass", k_occl)
+    measure("occluded pass nosort", k_occl_nosort)
     measure("alias+env eval", k_alias)
     measure("full bounce NEE", k_bounce_nee)
     scene = scene_sv

@@ -141,6 +141,7 @@ class ClusterAccel:
                     t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     branch=self.super_branch,
+                    vmem_headroom=cfg.vmem_headroom,
                 )
             elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
@@ -156,6 +157,7 @@ class ClusterAccel:
                     t_min=float(t_min),
                     t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
+                    vmem_headroom=cfg.vmem_headroom,
                 )
             else:
                 # Beyond the VMEM budget: stream cluster blocks HBM->VMEM
@@ -181,6 +183,7 @@ class ClusterAccel:
                     # 16 measured best on the 98k field (16.05 vs 16.64 ms
                     # at br8; tools/probe_streamed.py).
                     branch=2 * self.super_branch,
+                    vmem_headroom=cfg.vmem_headroom,
                 )
             if sort:
                 # Un-permute via ONE small-table gather (pack the four
@@ -247,6 +250,7 @@ class ClusterAccel:
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     branch=self.super_branch,
+                    vmem_headroom=cfg.vmem_headroom,
                 )
             elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
@@ -257,6 +261,7 @@ class ClusterAccel:
                     self.tris16, self.aabb8, self.order, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
+                    vmem_headroom=cfg.vmem_headroom,
                 )
             else:
                 # Big scene: streamed two-level any-hit — shadow rays no
@@ -272,6 +277,7 @@ class ClusterAccel:
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     branch=2 * self.super_branch,   # see intersect() note
+                    vmem_headroom=cfg.vmem_headroom,
                 )
             return restore(occ) if sort else occ
         return self._occluded_xla(vertices, origins, directions, t_min, t_max)

@@ -254,13 +254,43 @@ def main(argv=None) -> int:
             ):
                 renderer.save_checkpoint(args.checkpoint)
 
-    if args.profile:
-        from tpu_pathtracer.runtime.profiler import xla_trace
+    def run_maybe_profiled():
+        if args.profile:
+            from tpu_pathtracer.runtime.profiler import xla_trace
 
-        with xla_trace(args.profile):
+            with xla_trace(args.profile):
+                run()
+        else:
             run()
-    else:
-        run()
+
+    try:
+        run_maybe_profiled()
+    except Exception as e:  # noqa: BLE001 — filtered below, then re-raised
+        # The Pallas kernels' scoped-VMEM budget is a fitted model of one
+        # Mosaic version's staging behavior (ops/intersect_pallas.
+        # _vmem_params); if a future toolchain stages differently the
+        # FIRST compile can abort with a scoped-vmem/RESOURCE_EXHAUSTED
+        # error.  Retry once with doubled headroom (a static jit-cache
+        # key, so everything retraces) rather than aborting the render.
+        msg = str(e).lower()
+        if (
+            renderer.subframe == 0
+            and cfg.vmem_headroom == 1.0
+            and ("vmem" in msg or "resource_exhausted" in msg)
+        ):
+            plog.info(
+                "vmem",
+                "scoped-vmem compile failure; retrying with "
+                "vmem_headroom=2.0 (see config.vmem_headroom)",
+            )
+            cfg = cfg.replace(vmem_headroom=2.0)
+            renderer = ProgressiveRenderer(
+                scene, camera, cfg, mesh=mesh,
+                shard_mode=args.shard if args.shard != "none" else "pixels",
+            )
+            run_maybe_profiled()
+        else:
+            raise
 
     if args.checkpoint:
         renderer.save_checkpoint(args.checkpoint)

@@ -160,6 +160,15 @@ class RenderConfig:
     # 512 vs 8.2 at 1024).  0 = auto: 512 on hier-kernel scenes
     # (>= 192 clusters), 1024 otherwise.
     pallas_rays_per_tile: int = 0
+    # Multiplier on the Pallas kernels' modeled scoped-VMEM budget
+    # (ops/intersect_pallas._vmem_params).  The model's "8x scene bytes"
+    # Mosaic-staging multiplier is a fit to measured compiles on one
+    # Mosaic version; if a future toolchain stages differently and a
+    # render aborts with a scoped-vmem/RESOURCE_EXHAUSTED compile error,
+    # cli.py and bench.py automatically retry once with headroom 2.0 —
+    # this knob makes that retry part of the jit cache key and gives
+    # users a manual escape hatch.
+    vmem_headroom: float = 1.0
     # Streaming renderer: retire-FIFO depth per lane and flush cadence
     # (iterations between batched output scatters).  Scatter-add costs
     # ~40 ns per scattered ROW on v5e (sink rows included — see
@@ -228,6 +237,10 @@ class RenderConfig:
             # 3*bits + 3 octant bits must fit a uint32 sort key.
             raise ValueError(
                 f"sort_spatial_bits must be 0 (auto) to 9: {self.sort_spatial_bits}"
+            )
+        if not (0.25 <= self.vmem_headroom <= 8.0):
+            raise ValueError(
+                f"vmem_headroom must be in [0.25, 8]: {self.vmem_headroom}"
             )
         if self.fifo_depth < 1:
             # fifo_depth=0 would silently drop every retired pixel (the
