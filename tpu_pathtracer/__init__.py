@@ -13,7 +13,7 @@ thesis renderer ``safardani/szakdolgozat-pathtracer`` (see SURVEY.md):
 Where the reference is a single-GPU OptiX *megakernel* (one CUDA thread per
 pixel, hardware BVH + shader-execution-reordering), this framework is an
 idiomatic TPU design: a divergence-free masked *wavefront* bounce loop over
-SoA ray buffers, software BVH (cluster-packet + LBVH) traversal, counter-based
+SoA ray buffers, software BVH (Morton cluster-packet) traversal, counter-based
 per-lane RNG for bitwise-reproducible renders, and `shard_map` sample/tile
 sharding with collective accumulation across chips.
 """

@@ -135,7 +135,21 @@ class RenderConfig:
     # NOTE: above 2^24 padded prim ids ray sorting is disabled even when
     # set explicitly (prim ids travel through an exact-f32 packed row
     # after the sorted kernel; see ClusterAccel._want_sort).
-    sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
+    # "pool" (streaming schedule only): instead of sorting every intersect
+    # batch, the ENTIRE lane pool is physically permuted by the spatial
+    # key every `sort_refresh` iterations and the closest-hit kernel runs
+    # directly on pool order — zero per-call sort/permute/restore
+    # machinery, at the price of coherence decaying as lanes bounce and
+    # respawn between refreshes.  NEE shadow batches keep their own
+    # per-call spatial sort (their directions are alias-table draws,
+    # uncorrelated with pool order).  Output is bitwise-identical to the
+    # other modes: lane order is free in the streaming schedule (seeds
+    # are (pixel, sample, subframe) counters and each pixel's samples
+    # stay on one lane).  Non-streaming schedules treat "pool" as
+    # "spatial".
+    sort_rays: str = "auto"    # "auto" | "off" | "octant" | "spatial" | "pool"
+    # Iterations between pool re-sorts (sort_rays="pool" only).
+    sort_refresh: int = 4
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
     # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,
     # tower 2.35->2.29 s), 5 for spread ones (766-cluster field: 8.2 vs
@@ -229,8 +243,10 @@ class RenderConfig:
             raise ValueError(f"invalid intersector: {self.intersector!r}")
         if self.pixel_order not in ("auto", "scanline", "tiled"):
             raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")
-        if self.sort_rays not in ("auto", "off", "octant", "spatial"):
+        if self.sort_rays not in ("auto", "off", "octant", "spatial", "pool"):
             raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
+        if self.sort_refresh < 1:
+            raise ValueError(f"sort_refresh must be >= 1: {self.sort_refresh}")
         if self.texture_lod not in ("auto", "off", "mip", "split"):
             raise ValueError(f"invalid texture_lod: {self.texture_lod!r}")
         if not (0 <= self.sort_spatial_bits <= 9):

@@ -9,9 +9,9 @@ batched vector computation:
   [N_rays x block] tiles via `lax.scan` so the working set stays bounded.
   Exact; fast enough for the reference's scene sizes (<= ~10k triangles)
   and the correctness oracle for every accelerated path.
-* Accelerated variants (cluster-packet BVH, LBVH) live in
-  `tpu_pathtracer.accel` and reduce the tested-triangle count; they reuse
-  `_mt_block` for their leaf tests.
+* The accelerated variant (Morton cluster-packet traversal) lives in
+  `tpu_pathtracer.accel` and reduces the tested-triangle count; it reuses
+  `_mt_block` for its XLA-path leaf tests.
 
 Triangles are two-sided (the reference never sets OptiX backface culling).
 """

@@ -1342,6 +1342,38 @@ def _part1by2(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def ray_sort_key(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    scene_lo=None,
+    scene_hi=None,
+    spatial_bits: int = 0,
+) -> jnp.ndarray:
+    """[N] u32 packet-coherence sort key: (origin Morton cell << 3) | octant.
+
+    spatial_bits=0 gives the pure direction-octant key.  Shared by the
+    per-call `octant_sort` and the persistent pool sort
+    (render/integrator._pool_sort_state)."""
+    key = (
+        (directions[:, 0] > 0).astype(jnp.uint32)
+        + 2 * (directions[:, 1] > 0).astype(jnp.uint32)
+        + 4 * (directions[:, 2] > 0).astype(jnp.uint32)
+    )
+    if spatial_bits:
+        lo = jnp.asarray(scene_lo, jnp.float32)
+        span = jnp.maximum(jnp.asarray(scene_hi, jnp.float32) - lo, 1e-6)
+        cells = jnp.float32((1 << spatial_bits) - 1)
+        q = jnp.clip((origins - lo) / span, 0.0, 1.0) * cells
+        qi = q.astype(jnp.uint32)
+        morton = (
+            _part1by2(qi[:, 0])
+            | (_part1by2(qi[:, 1]) << 1)
+            | (_part1by2(qi[:, 2]) << 2)
+        )
+        key = key | (morton << 3)
+    return key
+
+
 def octant_sort(
     origins: jnp.ndarray,
     directions: jnp.ndarray,
@@ -1370,23 +1402,7 @@ def octant_sort(
     cheaper than a ~40 ns/row scatter).  Total ~1 ms.
     """
     n = origins.shape[0]
-    key = (
-        (directions[:, 0] > 0).astype(jnp.uint32)
-        + 2 * (directions[:, 1] > 0).astype(jnp.uint32)
-        + 4 * (directions[:, 2] > 0).astype(jnp.uint32)
-    )
-    if spatial_bits:
-        lo = jnp.asarray(scene_lo, jnp.float32)
-        span = jnp.maximum(jnp.asarray(scene_hi, jnp.float32) - lo, 1e-6)
-        cells = jnp.float32((1 << spatial_bits) - 1)
-        q = jnp.clip((origins - lo) / span, 0.0, 1.0) * cells
-        qi = q.astype(jnp.uint32)
-        morton = (
-            _part1by2(qi[:, 0])
-            | (_part1by2(qi[:, 1]) << 1)
-            | (_part1by2(qi[:, 2]) << 2)
-        )
-        key = key | (morton << 3)
+    key = ray_sort_key(origins, directions, scene_lo, scene_hi, spatial_bits)
     iota = jnp.arange(n, dtype=jnp.int32)
     _, perm = jax.lax.sort_key_val(key, iota)       # slot -> lane
     _, inv = jax.lax.sort_key_val(perm, iota)       # lane -> slot
