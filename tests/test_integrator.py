@@ -267,31 +267,6 @@ def test_deferred_shade_streaming_schedule():
     _assert_ulp_close(dense, deferred)
 
 
-def test_pool_sort_bitwise():
-    """sort_rays="pool" physically permutes the streaming schedule's lane
-    pool every sort_refresh iterations (render/integrator._pool_sort_state).
-    Lane order is free in that schedule — seeds are (pixel, sample,
-    subframe) counters and the output scatter is keyed by pixel row — so
-    the rendered image must match the default schedule BITWISE."""
-    from tpu_pathtracer.accel.build import build_accel
-    from tpu_pathtracer.scene.procedural import high_poly_scene
-
-    scene = build_accel(high_poly_scene(total_tris=2000), kind="cluster")
-    assert scene.accel.num_clusters >= 2
-    base = dict(width=48, height=32, samples_per_launch=4, max_depth=4,
-                dof=False, env_mode="sunsky", intersector="cluster",
-                stream_lanes=256)
-    cam = Camera(eye=(0, 2, 8))
-    ref = render(scene, RenderConfig(**base), camera=cam)
-    for refresh in (1, 3):
-        pool = render(
-            scene,
-            RenderConfig(**base, sort_rays="pool", sort_refresh=refresh),
-            camera=cam,
-        )
-        np.testing.assert_array_equal(ref, pool)
-
-
 def test_config_validation_rejects_degenerate_knobs():
     import pytest as _pytest
 

@@ -25,8 +25,7 @@ def main():
     ap.add_argument("--fifo-depth", type=int, default=4)
     ap.add_argument("--flush-every", type=int, default=32)
     ap.add_argument("--sort-rays", default="auto",
-                    choices=["auto", "off", "octant", "spatial", "pool"])
-    ap.add_argument("--sort-refresh", type=int, default=4)
+                    choices=["auto", "off", "octant", "spatial"])
     ap.add_argument("--spatial-bits", type=int, default=0)
     ap.add_argument("--super-branch", type=int, default=8)
     ap.add_argument("--deferred", action="store_true")
@@ -84,7 +83,6 @@ def main():
         fifo_depth=args.fifo_depth, flush_every=args.flush_every,
         deferred_shade=args.deferred, deferred_chunk_div=args.chunk_div,
         sort_rays=args.sort_rays, sort_spatial_bits=args.spatial_bits,
-        sort_refresh=args.sort_refresh,
     )
     cam = camera_arrays(
         Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg
@@ -102,7 +100,7 @@ def main():
         f"lanes={args.lanes} cluster={args.cluster_size} rpt={args.rays_per_tile} "
         f"fifo={args.fifo_depth}/{args.flush_every} "
         f"deferred={int(args.deferred)}/{args.chunk_div} "
-        f"sort={args.sort_rays}/{args.spatial_bits}/r{args.sort_refresh} "
+        f"sort={args.sort_rays}/{args.spatial_bits} "
         f"spp={args.spp}: {dt:.3f} s/launch  sum={float(img.sum()):.3e}"
     )
 

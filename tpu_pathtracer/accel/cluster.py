@@ -49,15 +49,9 @@ class ClusterAccel:
     def num_clusters(self) -> int:
         return self.aabb_min.shape[0]
 
-    def _want_sort(self, cfg, occlusion: bool = False) -> str:
+    def _want_sort(self, cfg) -> str:
         """Resolve cfg.sort_rays to the concrete mode for this scene:
-        "" (off), "octant", or "spatial" (see config.sort_rays).
-
-        sort_rays="pool": closest-hit batches arrive already pool-ordered
-        (the streaming schedule permutes the whole lane pool, see
-        render/integrator._pool_sort_state) -> no per-call sort; occlusion
-        batches (NEE shadow rays — alias-table directions, uncorrelated
-        with pool order) keep their own per-call spatial sort."""
+        "" (off), "octant", or "spatial" (see config.sort_rays)."""
         if self.num_clusters * self.cluster_size >= (1 << 24):
             # prim ids travel through an exact-f32 packed row after the
             # sorted kernel; ids must stay below 2^24.
@@ -71,8 +65,6 @@ class ClusterAccel:
                     "exact-f32; ids must stay below 2^24)",
                 )
             return ""
-        if cfg.sort_rays == "pool":
-            return "spatial" if occlusion else ""
         if cfg.sort_rays in ("octant", "spatial"):
             return cfg.sort_rays
         if cfg.sort_rays == "off" or self.num_clusters < 2:
@@ -238,7 +230,7 @@ class ClusterAccel:
         Pallas kernel early-exits once a packet is fully occluded."""
         vmem_bytes = self.tris16.size * 4
         if cfg.use_pallas and jax.default_backend() == "tpu":
-            sort = self._want_sort(cfg, occlusion=True)
+            sort = self._want_sort(cfg)
             if sort:
                 origins, directions, restore = self._sorted_rays(
                     sort, origins, directions, cfg

@@ -135,21 +135,14 @@ class RenderConfig:
     # NOTE: above 2^24 padded prim ids ray sorting is disabled even when
     # set explicitly (prim ids travel through an exact-f32 packed row
     # after the sorted kernel; see ClusterAccel._want_sort).
-    # "pool" (streaming schedule only): instead of sorting every intersect
-    # batch, the ENTIRE lane pool is physically permuted by the spatial
-    # key every `sort_refresh` iterations and the closest-hit kernel runs
-    # directly on pool order — zero per-call sort/permute/restore
-    # machinery, at the price of coherence decaying as lanes bounce and
-    # respawn between refreshes.  NEE shadow batches keep their own
-    # per-call spatial sort (their directions are alias-table draws,
-    # uncorrelated with pool order).  Output is bitwise-identical to the
-    # other modes: lane order is free in the streaming schedule (seeds
-    # are (pixel, sample, subframe) counters and each pixel's samples
-    # stay on one lane).  Non-streaming schedules treat "pool" as
-    # "spatial".
-    sort_rays: str = "auto"    # "auto" | "off" | "octant" | "spatial" | "pool"
-    # Iterations between pool re-sorts (sort_rays="pool" only).
-    sort_refresh: int = 4
+    # A persistent pool-sort mode (permute the whole streaming lane pool
+    # every k iterations instead of sorting each intersect batch) was
+    # built and MEASURED REFUTED in round 3: stale coherence forfeits the
+    # culling win far faster than it saves machinery (hero 2.36 vs 2.16
+    # s/launch at best refresh; monkey 4.98 vs 3.23 — worst exactly where
+    # sorting matters most).  docs/perf_notes.md round 3 has the numbers;
+    # the implementation is at git 24f2f76.
+    sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
     # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,
     # tower 2.35->2.29 s), 5 for spread ones (766-cluster field: 8.2 vs
@@ -243,10 +236,8 @@ class RenderConfig:
             raise ValueError(f"invalid intersector: {self.intersector!r}")
         if self.pixel_order not in ("auto", "scanline", "tiled"):
             raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")
-        if self.sort_rays not in ("auto", "off", "octant", "spatial", "pool"):
+        if self.sort_rays not in ("auto", "off", "octant", "spatial"):
             raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
-        if self.sort_refresh < 1:
-            raise ValueError(f"sort_refresh must be >= 1: {self.sort_refresh}")
         if self.texture_lod not in ("auto", "off", "mip", "split"):
             raise ValueError(f"invalid texture_lod: {self.texture_lod!r}")
         if not (0 <= self.sort_spatial_bits <= 9):

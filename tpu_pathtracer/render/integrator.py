@@ -643,11 +643,6 @@ def render_rays(
     return_stats=True additionally returns {"segments", "shadow_segments"}
     — the rays actually traced by THIS loop (bench accounting lives inside
     the render path, never in a duplicated loop)."""
-    if cfg.sort_rays == "pool":
-        # Pool sorting is a streaming-schedule feature (the lane pool
-        # persists across bounces there); batch tracing falls back to the
-        # equivalent per-call sort.
-        cfg = cfg.replace(sort_rays="spatial")
     # State arrays derive from the inputs (*_like) so varying manual axes
     # stay consistent when this runs inside shard_map.
     state = dict(
@@ -781,8 +776,6 @@ def render_pixels_regen(
     runs out.  Seeds are the same global (pixel, sample, subframe)
     counters as the wide path, so each sample's radiance is identical.
     """
-    if cfg.sort_rays == "pool":
-        cfg = cfg.replace(sort_rays="spatial")  # see render_rays
     n = pixel_ids.shape[0]
     px = pixel_ids % cfg.width
     py = pixel_ids // cfg.width
@@ -913,87 +906,6 @@ def _tile_slot_to_pixel(slot: jnp.ndarray, width: int) -> jnp.ndarray:
     return (big_y * 8 + by) * width + big_x * 16 + bx
 
 
-def _pool_sort_wanted(scene: Scene, cfg: RenderConfig) -> bool:
-    """True when the streaming schedule should keep its lane pool
-    physically sorted (sort_rays="pool") instead of sorting every
-    intersect batch inside ClusterAccel.intersect."""
-    from tpu_pathtracer.ops.intersect import _auto_prefers_accel
-
-    if cfg.sort_rays != "pool" or cfg.intersector == "brute":
-        return False
-    accel = scene.accel
-    if accel is None or not hasattr(accel, "scene_lo"):
-        return False
-    if cfg.intersector == "auto" and not _auto_prefers_accel(scene, cfg):
-        return False
-    return accel.num_clusters >= 2
-
-
-def _pool_sort_state(st: dict, scene: Scene, cfg: RenderConfig) -> dict:
-    """Permute the whole lane pool by the (origin Morton cell, direction
-    octant) key — the persistent-sort analog of the per-call
-    `octant_sort` inside ClusterAccel.intersect.
-
-    Lane order is free in the streaming schedule: seeds are
-    (pixel, sample, subframe) counters, a pixel's samples accumulate on
-    one lane in sample order, and the output scatter is keyed by pixel
-    row (exactly one nonzero add per row per frame), so the rendered
-    image is bitwise-identical under any lane permutation
-    (tests/test_integrator.py::test_pool_sort_bitwise).  Floats and ints
-    travel in separate packed tables — ints bitcast through f32 would
-    hit the TPU NaN-canonicalisation hazard (docs/perf_notes.md).
-
-    The retire-FIFO (pend_slot/pend_rgb/pend_cnt) deliberately does NOT
-    travel: its entries are (output row, rgb) pairs destined for the
-    flush scatter, not lane identity — leaving them in place turns the
-    FIFO into a lane-POSITION staging buffer.  Every retired pixel still
-    scatters exactly once, so output is unchanged, and the permuted
-    footprint drops ~40%.
-    """
-    from tpu_pathtracer.ops.intersect_pallas import ray_sort_key
-
-    accel = scene.accel
-    bits = cfg.sort_spatial_bits
-    if bits == 0:   # auto: mirror ClusterAccel._sorted_rays
-        bits = 7 if accel.num_clusters < 256 else 5
-    key = ray_sort_key(
-        st["origin"], st["direction"], accel.scene_lo, accel.scene_hi, bits
-    )
-    n = key.shape[0]
-    _, perm = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
-
-    fl_parts = [
-        st["origin"], st["direction"], st["attenuation"], st["radiance"],
-        st["lane_accum"],
-    ]
-    widths = [p.shape[1] for p in fl_parts]
-    fl = jnp.concatenate(fl_parts, axis=-1)[perm]       # ONE float gather
-    off = 0
-    fl_out = []
-    for w in widths:
-        fl_out.append(fl[:, off:off + w])
-        off += w
-
-    int_parts = [
-        st["slot"][:, None], st["pix"][:, None], st["depth"][:, None],
-        st["sample_i"][:, None],
-        st["spec_last"].astype(jnp.int32)[:, None],
-        jax.lax.bitcast_convert_type(st["seeds"], jnp.int32)[:, None],
-    ]
-    iv = jnp.concatenate(int_parts, axis=-1)[perm]      # ONE int gather
-
-    out = dict(st)
-    out["origin"], out["direction"], out["attenuation"] = fl_out[0:3]
-    out["radiance"], out["lane_accum"] = fl_out[3:5]
-    out["slot"] = iv[:, 0]
-    out["pix"] = iv[:, 1]
-    out["depth"] = iv[:, 2]
-    out["sample_i"] = iv[:, 3]
-    out["spec_last"] = iv[:, 4].astype(bool)
-    out["seeds"] = jax.lax.bitcast_convert_type(iv[:, 5], jnp.uint32)
-    return out
-
-
 def render_pixels_stream(
     scene: Scene,
     cam: dict,
@@ -1091,19 +1003,10 @@ def render_pixels_stream(
     )
     max_iters = (n_pix * spp * (cfg.max_depth + 2)) // lanes + cfg.max_depth + 16
 
-    pool_sort = _pool_sort_wanted(scene, cfg)
-
     def cond(st):
         return jnp.any(st["slot"] < n_pix) & (st["it"] < max_iters)
 
     def body(st):
-        if pool_sort:
-            st = jax.lax.cond(
-                st["it"] % cfg.sort_refresh == 0,
-                lambda s: _pool_sort_state(s, scene, cfg),
-                lambda s: s,
-                st,
-            )
         live = st["slot"] < n_pix
         tb = _trace_bounce(
             scene, cfg, st["origin"], st["direction"], st["attenuation"],
