@@ -91,6 +91,32 @@ def test_occlusion_kernel_matches_brute(clustered):
     assert occ_b.any() and not occ_b.all()
 
 
+def test_occlusion_active_mask_parks_inactive(clustered):
+    """ClusterAccel.occluded(active=mask) parks inactive lanes outside
+    the scene (they stop forcing clusters alive in the packet kernels);
+    active lanes must return exactly the unmasked result, and parked
+    lanes must miss everything (False on this path)."""
+    from tpu_pathtracer.config import RenderConfig
+
+    rs = np.random.RandomState(7)
+    n = 300
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    mask = jnp.asarray(rs.rand(n) < 0.4)
+    cfg = RenderConfig(width=8, height=8, intersector="cluster")
+    full = np.asarray(
+        clustered.accel.occluded(clustered.vertices, o, d, 0.01, 1e16, cfg)
+    )
+    masked = np.asarray(
+        clustered.accel.occluded(
+            clustered.vertices, o, d, 0.01, 1e16, cfg, active=mask
+        )
+    )
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(masked[m], full[m])
+    assert not masked[~m].any()
+
+
 def test_occlusion_xla_matches_brute(clustered):
     from tpu_pathtracer.config import RenderConfig
     from tpu_pathtracer.ops.intersect import occluded_brute

@@ -222,13 +222,31 @@ class ClusterAccel:
             vertices, origins, directions, t_min, t_max, cfg
         )
 
-    def occluded(self, vertices, origins, directions, t_min, t_max, cfg) -> jnp.ndarray:
+    def occluded(
+        self, vertices, origins, directions, t_min, t_max, cfg, active=None
+    ) -> jnp.ndarray:
         """Any-hit query over the cluster accel: True where the segment
         [t_min, t_max] is blocked.  The software `traceOcclusion`
         (reference optixSphere.cu:134-156) — cheaper than closest-hit:
         no distance ordering, no prim/barycentric tracking, and the
-        Pallas kernel early-exits once a packet is fully occluded."""
+        Pallas kernel early-exits once a packet is fully occluded.
+
+        `active=None` queries every lane.  With a mask, inactive lanes
+        are PARKED: origin moved outside the scene AABB, direction +x —
+        they fail every slab test, and because a parked origin clamps to
+        the maximum Morton cell they share one sort key and compact into
+        pure all-parked packets that skip all triangle work.  Their
+        return value is unspecified (False on the Pallas path); callers
+        mask on `active`."""
         vmem_bytes = self.tris16.size * 4
+        if active is not None:
+            park = self.scene_hi + (self.scene_hi - self.scene_lo) + 1.0
+            origins = jnp.where(active[:, None], origins, park[None, :])
+            directions = jnp.where(
+                active[:, None],
+                directions,
+                jnp.array([1.0, 0.0, 0.0], directions.dtype),
+            )
         if cfg.use_pallas and jax.default_backend() == "tpu":
             sort = self._want_sort(cfg)
             if sort:

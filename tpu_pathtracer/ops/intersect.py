@@ -243,10 +243,19 @@ def occluded_brute(
     return occ
 
 
-def occluded_scene(scene, origins, directions, t_min, t_max, cfg) -> jnp.ndarray:
+def occluded_scene(
+    scene, origins, directions, t_min, t_max, cfg, active=None
+) -> jnp.ndarray:
     """Any-hit dispatch (shadow rays): first accepted hit ends the query —
     no distance ordering or barycentric finalize (reference
-    `traceOcclusion`, optixSphere.cu:134-156)."""
+    `traceOcclusion`, optixSphere.cu:134-156).
+
+    `active`: optional [N] bool mask — lanes outside it return an
+    unspecified value (callers must mask on it, as the NEE estimator
+    already does via `cand & ~occluded`).  The cluster accel parks
+    inactive rays outside the scene bounds so they stop forcing clusters
+    alive in the packet kernels (~2/3 of NEE shadow lanes are inactive
+    on the hero scene: misses, glass, emissive, backfacing)."""
     if cfg.intersector == "brute" or (
         cfg.intersector == "auto" and not _auto_prefers_accel(scene, cfg)
     ):
@@ -256,7 +265,8 @@ def occluded_scene(scene, origins, directions, t_min, t_max, cfg) -> jnp.ndarray
     accel = scene.accel
     if accel is not None and hasattr(accel, "occluded"):
         return accel.occluded(
-            scene.vertices, origins, directions, t_min, t_max, cfg
+            scene.vertices, origins, directions, t_min, t_max, cfg,
+            active=active,
         )
     return intersect_scene(scene, origins, directions, t_min, t_max, cfg).hit
 

@@ -585,7 +585,8 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             & (cos_l > 0.0)
         )
         occluded = occluded_scene(
-            scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg
+            scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg,
+            active=cand,
         )
         l_env = eval_env(scene.env, env_dir, cfg, active=cand)
         nee_ok = cand & ~occluded
