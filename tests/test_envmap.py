@@ -149,17 +149,44 @@ def test_nee_rejects_reference_rr():
         )
 
 
-def test_cli_nee_implies_standard_rr(monkeypatch):
+def test_cli_nee_implies_standard_rr():
     """`--nee` without an explicit --rr-mode must build a standard-RR
-    config instead of tripping the validation error."""
-    import sys as _sys
-
+    config instead of tripping the validation error — independent of
+    the host process's sys.argv (the implication keys off argparse
+    None-sentinel defaults, not argv sniffing)."""
     from tpu_pathtracer.cli import build_arg_parser, build_from_args
 
-    argv = ["prog", "--dim", "16x12", "--env", "procedural", "--nee"]
-    monkeypatch.setattr(_sys, "argv", argv)
-    args = build_arg_parser().parse_args(argv[1:])
+    args = build_arg_parser().parse_args(
+        ["--dim", "16x12", "--env", "procedural", "--nee"]
+    )
     _, _, cfg = build_from_args(args)
+    assert cfg.env_importance_sampling and cfg.rr_mode == "standard"
+
+    # An EXPLICIT reference-RR request (including the --flag=value
+    # spelling argv sniffing used to miss) must NOT be silently
+    # overridden: validation raises its clear error instead.
+    args = build_arg_parser().parse_args(
+        ["--dim", "16x12", "--env", "procedural", "--nee",
+         "--rr-mode=reference"]
+    )
+    with pytest.raises(ValueError, match="rr_mode='standard'"):
+        build_from_args(args)
+
+
+def test_scenefile_nee_implies_standard_rr(tmp_path):
+    """A scene file enabling env importance sampling without an rr_mode
+    key must load with standard RR (the implication lives at config
+    assembly in scenefile.py, not just the CLI)."""
+    from tpu_pathtracer.scene.scenefile import load_scene_file
+
+    f = tmp_path / "nee.toml"
+    f.write_text(
+        "[render]\nwidth = 16\nheight = 12\n"
+        "[environment]\nmode = \"equirect\"\n"
+        "procedural = { height = 16, width = 32 }\n"
+        "importance_sampling = true\n"
+    )
+    _, _, cfg = load_scene_file(str(f), {})
     assert cfg.env_importance_sampling and cfg.rr_mode == "standard"
 
 

@@ -92,29 +92,42 @@ def test_occlusion_kernel_matches_brute(clustered):
 
 
 def test_occlusion_active_mask_parks_inactive(clustered):
-    """ClusterAccel.occluded(active=mask) parks inactive lanes outside
-    the scene (they stop forcing clusters alive in the packet kernels);
-    active lanes must return exactly the unmasked result, and parked
-    lanes must miss everything (False on this path)."""
+    """ClusterAccel.occluded(active=mask): active lanes always return
+    exactly the unmasked result (the mask is advisory; here on the CPU
+    XLA path it is a no-op), and the parking transform the TPU sorted
+    path applies (origin outside the scene AABB, direction +x — see
+    ClusterAccel.occluded) must make every parked ray miss everything
+    in the interpret-mode kernel."""
     from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.ops.intersect_pallas import occluded_clusters_pallas
 
     rs = np.random.RandomState(7)
     n = 300
     o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
     d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
     mask = jnp.asarray(rs.rand(n) < 0.4)
+    acc = clustered.accel
     cfg = RenderConfig(width=8, height=8, intersector="cluster")
     full = np.asarray(
-        clustered.accel.occluded(clustered.vertices, o, d, 0.01, 1e16, cfg)
+        acc.occluded(clustered.vertices, o, d, 0.01, 1e16, cfg)
     )
     masked = np.asarray(
-        clustered.accel.occluded(
+        acc.occluded(
             clustered.vertices, o, d, 0.01, 1e16, cfg, active=mask
         )
     )
     m = np.asarray(mask)
     np.testing.assert_array_equal(masked[m], full[m])
-    assert not masked[~m].any()
+
+    # The parking transform itself, through the any-hit kernel.
+    park = acc.scene_hi + (acc.scene_hi - acc.scene_lo) + 1.0
+    o_park = jnp.broadcast_to(park[None, :], (n, 3))
+    d_park = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (n, 3))
+    occ_park = np.asarray(occluded_clusters_pallas(
+        acc.tris16, acc.aabb8, acc.order, o_park, d_park, 0.01, 1e16,
+        rays_per_tile=64, interpret=True,
+    ))
+    assert not occ_park.any()
 
 
 def test_occlusion_xla_matches_brute(clustered):

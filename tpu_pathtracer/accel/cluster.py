@@ -235,20 +235,23 @@ class ClusterAccel:
         are PARKED: origin moved outside the scene AABB, direction +x —
         they fail every slab test, and because a parked origin clamps to
         the maximum Morton cell they share one sort key and compact into
-        pure all-parked packets that skip all triangle work.  Their
-        return value is unspecified (False on the Pallas path); callers
-        mask on `active`."""
+        pure all-parked packets that skip all triangle work.  Parking is
+        applied only when the batch is sorted: unsorted parked lanes
+        would scatter through every packet and permanently block the
+        kernels' all-occluded early exit (a parked lane never occludes)
+        while compacting nothing.  Their return value is unspecified
+        (False on the Pallas path); callers mask on `active`."""
         vmem_bytes = self.tris16.size * 4
-        if active is not None:
-            park = self.scene_hi + (self.scene_hi - self.scene_lo) + 1.0
-            origins = jnp.where(active[:, None], origins, park[None, :])
-            directions = jnp.where(
-                active[:, None],
-                directions,
-                jnp.array([1.0, 0.0, 0.0], directions.dtype),
-            )
         if cfg.use_pallas and jax.default_backend() == "tpu":
             sort = self._want_sort(cfg)
+            if active is not None and sort:
+                park = self.scene_hi + (self.scene_hi - self.scene_lo) + 1.0
+                origins = jnp.where(active[:, None], origins, park[None, :])
+                directions = jnp.where(
+                    active[:, None],
+                    directions,
+                    jnp.array([1.0, 0.0, 0.0], directions.dtype),
+                )
             if sort:
                 origins, directions, restore = self._sorted_rays(
                     sort, origins, directions, cfg

@@ -26,11 +26,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="tpu_pathtracer",
         description="TPU-native wavefront path tracer",
     )
+    # Flags that a --scene-file's [render] table can also set use a None
+    # default: "the user explicitly passed this" is then `is not None`
+    # (robust against --flag=value and prefix-abbreviated spellings that
+    # argv sniffing misses).  Effective defaults live in CLI_DEFAULTS.
     p.add_argument("--file", "-f", default="", help="output image (png/ppm/exr); empty = interactive")
-    p.add_argument("--dim", default="1600x1200", help="image dimensions WxH (reference default 1600x1200)")
-    p.add_argument("--launch-samples", "-s", type=int, default=10, help="samples per launch (reference hard-codes 10)")
+    p.add_argument("--dim", default=None, help="image dimensions WxH (reference default 1600x1200)")
+    p.add_argument("--launch-samples", "-s", type=int, default=None, help="samples per launch (reference hard-codes 10)")
     p.add_argument("--spp", type=int, default=0, help="total samples/pixel for offline render (0 = one launch)")
-    p.add_argument("--max-depth", type=int, default=20, help="max path depth (reference: 20)")
+    p.add_argument("--max-depth", type=int, default=None, help="max path depth (reference: 20)")
     p.add_argument("--scene", nargs="*", default=[], help="OBJ files (default: procedural three-spheres scene)")
     p.add_argument("--scene-file", default="", help="TOML scene description (scenes/*.toml); explicit flags override its [render] table")
     p.add_argument("--scale", type=float, default=1.0, help="uniform scene scale (reference hero scene: 0.05)")
@@ -38,13 +42,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--eye", default="0,2,6", help="camera eye (reference default 0,2,6)")
     p.add_argument("--lookat", default="0,0,0", help="camera look-at")
     p.add_argument("--fov", type=float, default=50.0, help="vertical FOV degrees")
-    p.add_argument("--dof", action=argparse.BooleanOptionalAction, default=True, help="thin-lens depth of field (reference default on)")
+    p.add_argument("--dof", action=argparse.BooleanOptionalAction, default=None, help="thin-lens depth of field (reference default on)")
     p.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster"], help="intersection structure (auto = brute for small scenes, cluster otherwise)")
     p.add_argument("--materials", default="convention", choices=["convention", "mtl"], help="material source for OBJ scenes")
-    p.add_argument("--rr-mode", default="reference", choices=["reference", "standard"])
-    p.add_argument("--texture-lod", default="auto", choices=["auto", "off", "mip", "split"], help="texture mip policy for big texture pools (config.texture_lod)")
+    p.add_argument("--rr-mode", default=None, choices=["reference", "standard"], help="Russian-roulette estimator (default: reference, or standard when --nee is on)")
+    p.add_argument("--texture-lod", default=None, choices=["auto", "off", "mip", "split"], help="texture mip policy for big texture pools (config.texture_lod)")
     p.add_argument("--nee", action="store_true", help="environment importance sampling (next-event estimation; beyond reference)")
-    p.add_argument("--tile-pixels", type=int, default=0, help="pixels per launch tile (0 = whole frame)")
+    p.add_argument("--tile-pixels", type=int, default=None, help="pixels per launch tile (0 = whole frame)")
     p.add_argument("--checkpoint", default="", help="checkpoint file; saved every --checkpoint-every subframes")
     p.add_argument("--checkpoint-every", type=int, default=50)
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint")
@@ -56,6 +60,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true", help="abort on NaN/Inf in any kernel (jax_debug_nans; SURVEY §5 sanitizer analog)")
     p.add_argument("--verbosity", type=int, default=4)
     return p
+
+
+# Effective defaults for the None-sentinel flags above (single source of
+# truth for both the plain-CLI path and --scene-file override detection).
+CLI_DEFAULTS = dict(
+    dim="1600x1200",        # reference default (optixSphere.cpp:759-765)
+    launch_samples=10,      # reference hard-codes 10 (cu:323)
+    max_depth=20,           # reference: 20 (cu:360)
+    texture_lod="auto",
+    tile_pixels=0,
+    dof=True,               # reference default on (cpp:1375)
+)
 
 
 def parse_dim(s: str):
@@ -85,31 +101,26 @@ def build_from_args(args):
         from tpu_pathtracer.scene.scenefile import load_scene_file
         from tpu_pathtracer.utils import logging as plog
 
-        # Explicit CLI flags override the file's [render] table.
+        # Explicit CLI flags override the file's [render] table ("passed
+        # explicitly" = the None-sentinel default was replaced; see
+        # build_arg_parser).  The NEE-implies-standard-RR rule lives in
+        # scenefile.load_scene_file, where the config is assembled.
         overrides = {}
-        argv = sys.argv[1:]
-        if "--dim" in " ".join(argv):
+        if args.dim is not None:
             w, h = parse_dim(args.dim)
             overrides["width"], overrides["height"] = w, h
-        for flag, field, val in (
-            ("--launch-samples", "samples_per_launch", args.launch_samples),
-            ("-s", "samples_per_launch", args.launch_samples),
-            ("--max-depth", "max_depth", args.max_depth),
-            ("--rr-mode", "rr_mode", args.rr_mode),
-            ("--texture-lod", "texture_lod", args.texture_lod),
-            ("--tile-pixels", "tile_pixels", args.tile_pixels),
+        for field, val in (
+            ("samples_per_launch", args.launch_samples),
+            ("max_depth", args.max_depth),
+            ("rr_mode", args.rr_mode),
+            ("texture_lod", args.texture_lod),
+            ("tile_pixels", args.tile_pixels),
+            ("dof", args.dof),
         ):
-            if flag in argv:
+            if val is not None:
                 overrides[field] = val
-        if "--nee" in argv:
+        if args.nee:
             overrides["env_importance_sampling"] = True
-            # NEE requires the textbook RR estimator (see RenderConfig
-            # validation).  Imply it unless the user explicitly forced
-            # reference RR — then let validation raise its clear error.
-            if "--rr-mode" not in argv:
-                overrides["rr_mode"] = "standard"
-        if "--dof" in argv or "--no-dof" in argv:
-            overrides["dof"] = args.dof
         scene, camera, cfg = load_scene_file(args.scene_file, overrides)
         plog.set_verbosity(args.verbosity)
         plog.info(
@@ -123,7 +134,7 @@ def build_from_args(args):
     from tpu_pathtracer.utils.image import load_exr, procedural_hdr
 
     plog.set_verbosity(args.verbosity)
-    width, height = parse_dim(args.dim)
+    width, height = parse_dim(args.dim or CLI_DEFAULTS["dim"])
 
     env_mode = "equirect"
     env = None
@@ -141,24 +152,28 @@ def build_from_args(args):
 
         env = with_importance_sampling(env)
 
-    # NEE requires standard RR (RenderConfig validation); imply it when
-    # the user didn't explicitly pick an RR mode.
+    # NEE requires standard RR (RenderConfig validation); imply it unless
+    # the user explicitly picked an RR mode — then let validation raise
+    # its clear error.
     rr_mode = args.rr_mode
-    if args.nee and "--rr-mode" not in sys.argv[1:]:
-        rr_mode = "standard"
+    if rr_mode is None:
+        rr_mode = "standard" if args.nee else "reference"
+
+    def dflt(v, key):
+        return CLI_DEFAULTS[key] if v is None else v
 
     cfg = RenderConfig(
         width=width,
         height=height,
-        samples_per_launch=args.launch_samples,
-        max_depth=args.max_depth,
-        dof=args.dof,
+        samples_per_launch=dflt(args.launch_samples, "launch_samples"),
+        max_depth=dflt(args.max_depth, "max_depth"),
+        dof=dflt(args.dof, "dof"),
         env_mode=env_mode,
         rr_mode=rr_mode,
-        texture_lod=args.texture_lod,
+        texture_lod=dflt(args.texture_lod, "texture_lod"),
         env_importance_sampling=args.nee,
         intersector=args.accel if args.scene else "brute",
-        tile_pixels=args.tile_pixels,
+        tile_pixels=dflt(args.tile_pixels, "tile_pixels"),
     )
 
     if args.scene:

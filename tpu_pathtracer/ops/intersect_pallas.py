@@ -1351,9 +1351,9 @@ def ray_sort_key(
 ) -> jnp.ndarray:
     """[N] u32 packet-coherence sort key: (origin Morton cell << 3) | octant.
 
-    spatial_bits=0 gives the pure direction-octant key.  Shared by the
-    per-call `octant_sort` and the persistent pool sort
-    (render/integrator._pool_sort_state)."""
+    spatial_bits=0 gives the pure direction-octant key.  Consumed by
+    `octant_sort`; kept separate so alternative consumers (the removed
+    pool sort was one, git 24f2f76) share the exact key definition."""
     key = (
         (directions[:, 0] > 0).astype(jnp.uint32)
         + 2 * (directions[:, 1] > 0).astype(jnp.uint32)

@@ -105,6 +105,12 @@ def load_scene_file(
         render_spec.setdefault("env_constant", tuple(env_spec["constant"]))
     if overrides:
         render_spec.update(overrides)
+    # NEE requires the textbook RR estimator (RenderConfig validation).
+    # Imply it here — where the config is assembled — unless the file or
+    # an explicit CLI override picked an rr_mode; then let validation
+    # raise its clear error.
+    if render_spec.get("env_importance_sampling") and "rr_mode" not in render_spec:
+        render_spec["rr_mode"] = "standard"
     valid = {f.name for f in dataclasses.fields(RenderConfig)}
     unknown = set(render_spec) - valid
     if unknown:
