@@ -254,6 +254,30 @@ def test_tiled_pixel_order_validation():
     RenderConfig(width=30, height=17, pixel_order="auto")
 
 
+def test_auto_preview_controller(scene):
+    """preview_scale="auto": the controller steps the preview finer while
+    measured frames sit comfortably under the budget, backs off (and
+    blacklists) a scale that misses it, and never oscillates back."""
+    r = ProgressiveRenderer(
+        scene, Camera(), cfg_(width=64, height=32),
+        preview_scale="auto", preview_budget_s=0.1,
+    )
+    assert r.preview_scale == 4
+    for _ in range(3):              # comfortably under budget -> finer
+        r._pv_update(0.01)
+    assert r.preview_scale == 2
+    for _ in range(3):
+        r._pv_update(0.01)
+    assert r.preview_scale == 1     # full-res 1-spp previews
+    assert r._preview_cfg.width == 64 and r._preview_cfg.samples_per_launch == 1
+    for _ in range(3):              # budget miss -> back off + blacklist
+        r._pv_update(0.5)
+    assert r.preview_scale == 2 and r._pv_floor == 2
+    for _ in range(6):              # under budget again, but 1 is banned
+        r._pv_update(0.01)
+    assert r.preview_scale == 2
+
+
 def test_adaptive_preview(scene):
     # While the camera moves the viewer shows low-res 1-spp previews;
     # preview output is display-sized and cleared by the next full step.

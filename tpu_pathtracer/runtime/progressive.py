@@ -35,7 +35,7 @@ from tpu_pathtracer.utils import logging as plog
 class ProgressiveRenderer:
     """Owns the accumulation buffer and the subframe counter."""
 
-    def __init__(self, scene, camera: Camera, cfg: RenderConfig, mesh=None, shard_mode: str = "pixels", preview_scale: int = 4):
+    def __init__(self, scene, camera: Camera, cfg: RenderConfig, mesh=None, shard_mode: str = "pixels", preview_scale="auto", preview_budget_s: float = 0.125):
         self.scene = scene
         self.cfg = cfg
         self.camera = camera.with_aspect(cfg.width, cfg.height)
@@ -48,17 +48,56 @@ class ProgressiveRenderer:
         # Adaptive preview: while the camera is moving the viewer renders
         # at 1/preview_scale resolution and 1 spp — the TPU analog of the
         # reference's "reset accumulation and keep the loop interactive"
-        # (optixSphere.cpp:267-278).  0/1 disables.
-        self.preview_scale = preview_scale
-        self._preview_cfg = self._make_preview_cfg(preview_scale)
+        # (optixSphere.cpp:267-278).  An int fixes the scale (0/1
+        # disables); "auto" starts at 1/4 and steps the resolution FINER
+        # while measured preview frames stay under preview_budget_s
+        # (default 125 ms ~ 8 fps), down to full-res 1-spp previews on
+        # hardware that affords them.  A scale that misses the budget is
+        # blacklisted so the controller cannot oscillate (each scale is a
+        # separate jit specialization; the persistent compile cache makes
+        # revisits cheap across runs).
+        self.preview_budget_s = preview_budget_s
+        self._pv_auto = preview_scale == "auto"
+        self._pv_scale = 4 if self._pv_auto else int(preview_scale or 0)
+        self._pv_floor = 1          # finest scale auto may try
+        self._pv_times: dict[int, list] = {}
         self._preview_img: Optional[jnp.ndarray] = None
 
+    @property
+    def preview_scale(self) -> int:
+        return self._pv_scale
+
+    @property
+    def _preview_cfg(self) -> Optional[RenderConfig]:
+        return self._make_preview_cfg(self._pv_scale)
+
     def _make_preview_cfg(self, scale: int) -> Optional[RenderConfig]:
-        if not scale or scale <= 1:
+        if not scale:
             return None
+        if scale <= 1:
+            if not self._pv_auto:
+                return None          # explicit 0/1 = previews disabled
+            return self.cfg.replace(samples_per_launch=1)  # full-res 1 spp
         pw = max(16, (self.cfg.width // scale) // 16 * 16)
         ph = max(8, (self.cfg.height // scale) // 8 * 8)
         return self.cfg.replace(width=pw, height=ph, samples_per_launch=1)
+
+    def _pv_update(self, dt: float) -> None:
+        """Auto-preview controller: step finer while comfortably under
+        budget, back off (and blacklist) a scale that misses it."""
+        ts = self._pv_times.setdefault(self._pv_scale, [])
+        ts.append(dt)
+        if len(ts) < 3:              # first sample includes the compile
+            return
+        med = sorted(ts[-3:])[1]
+        if med > 1.25 * self.preview_budget_s and self._pv_scale < 16:
+            self._pv_floor = max(self._pv_floor, self._pv_scale * 2)
+            self._pv_scale *= 2
+        elif (
+            med < 0.5 * self.preview_budget_s
+            and self._pv_scale > self._pv_floor
+        ):
+            self._pv_scale //= 2
 
     # -- camera interaction (reference cpp:238-278) ----------------------
     def set_camera(self, camera: Camera) -> None:
@@ -77,15 +116,18 @@ class ProgressiveRenderer:
         """Render ONE low-res 1-spp frame into the preview buffer (shown
         by image_u8 until the next full-res step).  Returns False when
         previewing is disabled."""
-        if self._preview_cfg is None:
-            return False
         pcfg = self._preview_cfg
+        if pcfg is None:
+            return False
+        t0 = time.perf_counter()
         pcam = camera_arrays(
             self.camera.with_aspect(pcfg.width, pcfg.height), pcfg
         )
         frame = render_frame(self.scene, pcam, pcfg, jnp.int32(self.subframe))
         frame.block_until_ready()
         self._preview_img = frame
+        if self._pv_auto:
+            self._pv_update(time.perf_counter() - t0)
         return True
 
     # -- the per-frame step (cpp:1390-1437) -------------------------------
@@ -168,12 +210,17 @@ class ProgressiveRenderer:
             return {}
         mean_t = float(np.mean(times))
         n_paths = self.cfg.width * self.cfg.height * self.cfg.samples_per_launch
-        return {
+        st = {
             "subframe": self.subframe,
             "spp": self.spp,
             "ms_per_frame": mean_t * 1e3,
             "paths_per_sec": n_paths / mean_t,
         }
+        pts = self._pv_times.get(self._pv_scale)
+        if pts:
+            st["preview_scale"] = self._pv_scale
+            st["preview_ms"] = float(sorted(pts[-3:])[len(pts[-3:]) // 2]) * 1e3
+        return st
 
     # -- checkpoint / resume (SURVEY.md §5) --------------------------------
     def _scene_fingerprint(self) -> str:

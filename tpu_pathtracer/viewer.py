@@ -42,7 +42,9 @@ img.onerror=()=>setTimeout(refresh,500);
 refresh();
 setInterval(async()=>{const r=await fetch('/stats');const s=await r.json();
  hud.textContent=`${s.spp} spp | ${s.ms_per_frame?.toFixed(1)??'…'} ms/frame | `+
-   `${((s.paths_per_sec??0)/1e6).toFixed(2)} Mpaths/s | dof:${s.dof?'on':'off'} (G toggles, R resets)`;},500);
+   `${((s.paths_per_sec??0)/1e6).toFixed(2)} Mpaths/s`+
+   (s.preview_scale?` | pv 1/${s.preview_scale} ${s.preview_ms?.toFixed(0)}ms`:'')+
+   ` | dof:${s.dof?'on':'off'} (G toggles, R resets)`;},500);
 img.onmousedown=e=>{drag=true;px=e.clientX;py=e.clientY;shift=e.shiftKey;};
 window.onmouseup=()=>drag=false;
 window.onmousemove=e=>{if(!drag)return;const dx=e.clientX-px,dy=e.clientY-py;px=e.clientX;py=e.clientY;
