@@ -64,7 +64,7 @@ def test_alias_table_distribution():
     rs = np.random.RandomState(0)
     u1, u2 = jnp.asarray(rs.rand(n), jnp.float32), jnp.asarray(rs.rand(n), jnp.float32)
     u3, u4 = jnp.asarray(rs.rand(n), jnp.float32), jnp.asarray(rs.rand(n), jnp.float32)
-    dirs, pdf = envmap.sample_env_alias(env.alias_table, h, w, u1, u2, u3, u4)
+    dirs, pdf, _, _ = envmap.sample_env_alias(env.alias_table, h, w, u1, u2, u3, u4)
     uu, vv = envmap.direction_to_uv(dirs)
     tx = np.clip((np.asarray(uu) * w).astype(int), 0, w - 1)
     ty = np.clip((np.asarray(vv) * h).astype(int), 0, h - 1)
@@ -85,7 +85,7 @@ def test_alias_pdf_consistency():
     n = 200_000
     rs = np.random.RandomState(1)
     us = [jnp.asarray(rs.rand(n), jnp.float32) for _ in range(4)]
-    _, pdf = envmap.sample_env_alias(env.alias_table, 16, 32, *us)
+    _, pdf, _, _ = envmap.sample_env_alias(env.alias_table, 16, 32, *us)
     est = float(np.mean(1.0 / np.asarray(pdf)))
     assert abs(est - 4.0 * np.pi) / (4.0 * np.pi) < 0.05
 

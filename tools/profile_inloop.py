@@ -236,10 +236,10 @@ def main():
     def k_alias(sc, o, d, s):
         s, u1, u2 = rng.uniform2(s)
         s, u3, u4 = rng.uniform2(s)
-        env_dir, pdf = sample_env_alias(
+        env_dir, pdf, env_u, env_v = sample_env_alias(
             sc.env.alias_table, sc.env.height, sc.env.width, u1, u2, u3, u4
         )
-        e = eval_env(sc.env, env_dir, cfgK)
+        e = eval_env(sc.env, env_dir, cfgK, uv=(env_u, env_v))
         return (o + 0.001 * d + 1e-5 * (e + pdf[:, None]), env_dir, s)
 
     def k_bounce_nee(sc, o, d, s):

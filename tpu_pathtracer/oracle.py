@@ -167,7 +167,7 @@ class OracleScene:
         # pdf at the sampled elevation (see envmap.sample_env_alias)
         cos_elev = F(max(float(np.cos((0.5 - v) * np.pi)), 1e-6))
         pdf = F(pmass * (h * w) / (2.0 * np.pi * np.pi * cos_elev))
-        return d, pdf
+        return d, pdf, u, v
 
     def intersect(self, o, d, t_min, t_max):
         """Brute-force closest hit; min-prim tie-break like the JAX path."""
@@ -210,7 +210,9 @@ class OracleScene:
         c1 = c01 + (c11 - c01) * s
         return (c0 + (c1 - c0) * t).astype(F)
 
-    def eval_env(self, d, cfg):
+    def eval_env(self, d, cfg, uv=None):
+        """uv: exact equirect coords when known (NEE alias draws) —
+        mirrors envmap.eval_env(uv=...)."""
         if cfg.env_mode == "constant":
             return np.asarray(cfg.env_constant, F)
         dn = normalize(d)
@@ -220,8 +222,11 @@ class OracleScene:
                 return np.array([200, 175, 125], F)
             return np.array([0.4, 0.4, 0.6], F)
         h, w = self.env.shape[:2]
-        u = 0.5 + np.arctan2(dn[2], dn[0]) / (2 * np.pi)
-        v = 0.5 - np.arcsin(np.clip(dn[1], -1, 1)) / np.pi
+        if uv is not None:
+            u, v = uv
+        else:
+            u = 0.5 + np.arctan2(dn[2], dn[0]) / (2 * np.pi)
+            v = 0.5 - np.arcsin(np.clip(dn[1], -1, 1)) / np.pi
         x = F(u * w - 0.5)
         y = F(v * h - 0.5)
         x0f, y0f = np.floor(x), np.floor(y)
@@ -443,7 +448,9 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
                     seed, u2 = uniform(seed)
                     seed, u3 = uniform(seed)
                     seed, u4 = uniform(seed)
-                    env_dir, env_pdf = sc.sample_env_alias(u1, u2, u3, u4)
+                    env_dir, env_pdf, env_u, env_v = sc.sample_env_alias(
+                        u1, u2, u3, u4
+                    )
                     cos_l = F(max(float(sh["normal"] @ env_dir), 0.0))
                     nee_ok = (
                         not sh["done"]  # depth parity with the base estimator
@@ -452,7 +459,7 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
                         and not sc.occluded(sh["origin"], env_dir, cfg.t_min, cfg.t_max)
                     )
                     if nee_ok:
-                        l_env = sc.eval_env(env_dir, cfg)
+                        l_env = sc.eval_env(env_dir, cfg, uv=(env_u, env_v))
                         weight = F(
                             (1.0 - sh["spec_prob"]) * sh["idotn"] * cos_l
                             / (np.pi * max(float(env_pdf), 1e-12))

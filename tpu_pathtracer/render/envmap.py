@@ -104,11 +104,16 @@ def sunsky(direction: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(in_sun[..., None], sun, sky)
 
 
-def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig, active=None) -> jnp.ndarray:
+def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig, active=None, uv=None) -> jnp.ndarray:
     """Environment radiance for (a batch of) ray direction(s) [...,3].
 
     `active`: optional bool mask — lanes outside it return garbage but
-    skip the real gather row (see sample_equirect)."""
+    skip the real gather row (see sample_equirect).
+    `uv`: optional (u, v) pair when the caller already knows the exact
+    equirect coordinates (alias-table NEE draws compute the direction
+    FROM (u, v)) — skips the per-lane normalize+atan2+asin round-trip
+    and evaluates the radiance at the very coordinates the pdf was
+    computed for.  Ignored for constant/sunsky modes."""
     if cfg.env_mode == "constant":
         return jnp.broadcast_to(
             jnp.asarray(cfg.env_constant, dtype=jnp.float32),
@@ -116,7 +121,7 @@ def eval_env(env: EnvironmentMap, direction: jnp.ndarray, cfg: RenderConfig, act
         )
     if cfg.env_mode == "sunsky":
         return sunsky(direction)
-    u, v = direction_to_uv(direction)
+    u, v = uv if uv is not None else direction_to_uv(direction)
     return sample_equirect(
         env.data, u, v, quads=env.quads, active=active,
         scrambled=env.quads_scrambled,
@@ -227,8 +232,11 @@ def build_env_alias(env: EnvironmentMap):
 def sample_env_alias(table: jnp.ndarray, height: int, width: int, u1, u2, u3, u4):
     """O(1) env direction sample: one alias-table row gather per lane.
 
-    Returns (direction [...,3], pdf [...] in solid angle).  u3/u4 jitter
-    within the chosen texel (the pdf is texel-constant)."""
+    Returns (direction [...,3], pdf [...] in solid angle, u, v).  u3/u4
+    jitter within the chosen texel (the pdf is texel-constant); (u, v)
+    are the exact equirect coordinates of the draw — pass them to
+    eval_env(uv=...) so radiance is fetched where the pdf lives, with no
+    direction->uv float round-trip."""
     n = height * width
     i = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
     row = table[i]                                       # [N,4] — the gather
@@ -244,7 +252,7 @@ def sample_env_alias(table: jnp.ndarray, height: int, width: int, u1, u2, u3, u4
     # the texel.  (Texel-centre sin(theta) here measurably biased NEE.)
     cos_elev = jnp.maximum(jnp.cos((0.5 - v) * jnp.pi), 1e-6)
     pdf = pmass * (height * width) / (2.0 * jnp.pi * jnp.pi * cos_elev)
-    return uv_to_direction(u, v), pdf
+    return uv_to_direction(u, v), pdf, u, v
 
 
 def with_importance_sampling(env: EnvironmentMap) -> EnvironmentMap:

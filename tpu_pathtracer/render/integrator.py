@@ -568,7 +568,7 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             )
         seeds_out, u1, u2 = rng.uniform2(seeds_out)
         seeds_out, u3, u4 = rng.uniform2(seeds_out)
-        env_dir, env_pdf_v = sample_env_alias(
+        env_dir, env_pdf_v, env_u, env_v = sample_env_alias(
             scene.env.alias_table, scene.env.height, scene.env.width,
             u1, u2, u3, u4,
         )
@@ -588,7 +588,7 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg,
             active=cand,
         )
-        l_env = eval_env(scene.env, env_dir, cfg, active=cand)
+        l_env = eval_env(scene.env, env_dir, cfg, active=cand, uv=(env_u, env_v))
         nee_ok = cand & ~occluded
         # Lobe-partitioned estimator, consistent with the base integrator.
         # The base (non-NEE) estimator multiplies EVERY continuation by the
