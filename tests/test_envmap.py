@@ -78,6 +78,28 @@ def test_alias_table_distribution():
     assert np.all(np.asarray(pdf) > 0)
 
 
+def test_eval_env_uv_passthrough_matches_direction_path():
+    """eval_env(uv=...) must fetch the same radiance the direction
+    round-trip would (within the float atan2/asin round-trip error that
+    motivated the shortcut): for alias draws the two paths land in the
+    same texel for virtually all lanes."""
+    env = envmap.with_importance_sampling(make_env(procedural_hdr(16, 32, seed=6)))
+    cfg = RenderConfig(width=8, height=8, env_mode="equirect")
+    n = 4096
+    rs = np.random.RandomState(2)
+    us = [jnp.asarray(rs.rand(n), jnp.float32) for _ in range(4)]
+    dirs, _, u, v = envmap.sample_env_alias(env.alias_table, 16, 32, *us)
+    via_uv = np.asarray(envmap.eval_env(env, dirs, cfg, uv=(u, v)))
+    via_dir = np.asarray(envmap.eval_env(env, dirs, cfg))
+    same = np.isclose(via_uv, via_dir, rtol=1e-3, atol=1e-4).all(axis=-1)
+    assert same.mean() > 0.99  # only seam/rounding lanes may differ
+    # And the uv path is exactly sample_equirect at those coordinates.
+    direct = np.asarray(envmap.sample_equirect(
+        env.data, u, v, quads=env.quads, scrambled=env.quads_scrambled
+    ))
+    np.testing.assert_array_equal(via_uv, direct)
+
+
 def test_alias_pdf_consistency():
     # Monte-Carlo estimate of integral of 1 over the sphere using the
     # sampler's pdf must be ~4*pi.
