@@ -56,6 +56,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default="", help="capture an XLA trace to this TensorBoard logdir")
     p.add_argument("--interactive", action="store_true", help="serve the interactive web viewer")
     p.add_argument("--port", type=int, default=8000, help="viewer port")
+    p.add_argument("--preview-budget-ms", type=float, default=125.0, help="interaction preview frame budget; the viewer auto-picks the finest preview resolution that fits it")
     p.add_argument("--seed", type=int, default=0, help="seed for random (untextured) materials")
     p.add_argument("--debug-nans", action="store_true", help="abort on NaN/Inf in any kernel (jax_debug_nans; SURVEY §5 sanitizer analog)")
     p.add_argument("--verbosity", type=int, default=4)
@@ -237,6 +238,7 @@ def main(argv=None) -> int:
     renderer = ProgressiveRenderer(
         scene, camera, cfg, mesh=mesh,
         shard_mode=args.shard if args.shard != "none" else "pixels",
+        preview_budget_s=args.preview_budget_ms / 1e3,
     )
 
     if args.resume and args.checkpoint:
@@ -302,6 +304,7 @@ def main(argv=None) -> int:
             renderer = ProgressiveRenderer(
                 scene, camera, cfg, mesh=mesh,
                 shard_mode=args.shard if args.shard != "none" else "pixels",
+                preview_budget_s=args.preview_budget_ms / 1e3,
             )
             run_maybe_profiled()
         else:
