@@ -26,7 +26,12 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--depth", type=int, default=8)
-    ap.add_argument("--spp", type=int, default=10, help="samples per launch (reference: 10)")
+    ap.add_argument(
+        "--spp", type=int, default=None,
+        help="samples per launch (default 10 — the reference's hard-coded "
+        "batch, optixSphere.cu:323; config 1 defaults to its whole 64-spp "
+        "budget in one launch)",
+    )
     ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
     ap.add_argument("--nee", action="store_true", help="env importance sampling (config-3 'GGX + env importance sampling' fidelity)")
@@ -89,7 +94,13 @@ def main() -> int:
 
         scene = single_sphere_scene(stacks=32, slices=64)
         args.width = args.height = 512
-        args.spp, args.depth = 8, 8   # 8 spp/launch; 64 spp = 8 launches
+        # The whole 64-spp budget in ONE launch: at 0.26M pixels the
+        # per-launch fixed costs and the queue's drain tail dominate an
+        # 8-spp launch (the 131k-lane pool only gets ~25 full-work
+        # iterations); 64 spp/launch amortises both 8x.
+        if args.spp is None:
+            args.spp = 64
+        args.depth = 8
         env_mode = "constant"
         camera = Camera()
     elif args.config == 2:
@@ -118,6 +129,8 @@ def main() -> int:
         scene = obj_scene(["tower.obj", "fish.obj", "test.obj"], 1.0)
         camera = Camera(eye=(0, 1.5, 5), lookat=(0, 0.6, 0))
 
+    if args.spp is None:
+        args.spp = 10
     n_pix = args.width * args.height
     tiles = args.tiles
     if tiles == 0:

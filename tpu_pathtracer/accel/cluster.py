@@ -81,7 +81,7 @@ class ClusterAccel:
         # auto: finer packets cull better once the two-level kernel has
         # removed the per-cluster scalar overhead (sphere field 7.6 s at
         # 512 vs 8.2 at 1024); flat-kernel scenes prefer 1024.
-        return 512 if self.num_clusters >= 192 else 1024
+        return 512 if self.num_clusters >= cfg.hier_min_clusters else 1024
 
     def _sorted_rays(self, mode, origins, directions, cfg):
         from tpu_pathtracer.ops.intersect_pallas import octant_sort
@@ -119,7 +119,7 @@ class ClusterAccel:
                 )
             if (
                 vmem_bytes <= 6 * 1024 * 1024
-                and self.num_clusters >= 192
+                and self.num_clusters >= cfg.hier_min_clusters
                 and self.aabb8_super is not None
             ):
                 # Many clusters: two-level traversal — one scalar slab
@@ -258,7 +258,7 @@ class ClusterAccel:
                 )
             if (
                 vmem_bytes <= 6 * 1024 * 1024
-                and self.num_clusters >= 192
+                and self.num_clusters >= cfg.hier_min_clusters
                 and self.aabb8_super is not None
             ):
                 from tpu_pathtracer.ops.intersect_pallas import (

@@ -167,6 +167,14 @@ class RenderConfig:
     # 512 vs 8.2 at 1024).  0 = auto: 512 on hier-kernel scenes
     # (>= 192 clusters), 1024 otherwise.
     pallas_rays_per_tile: int = 0
+    # Cluster count at or above which in-VMEM scenes route to the
+    # two-level (supercluster) kernel instead of the flat one.  At few
+    # clusters the extra super-level slab tests are pure overhead; at
+    # many, the flat kernel's per-cluster SCALAR loop dominates and one
+    # super test skips `super_branch` clusters at a time (766-cluster
+    # sphere field: 10.5 -> 8.2 s/launch on v5e).  Also the pivot for
+    # auto rays_per_tile (512 on hier scenes, 1024 on flat ones).
+    hier_min_clusters: int = 192
     # Multiplier on the Pallas kernels' modeled scoped-VMEM budget
     # (ops/intersect_pallas._vmem_params).  The model's "8x scene bytes"
     # Mosaic-staging multiplier is a fit to measured compiles on one
@@ -248,6 +256,12 @@ class RenderConfig:
         if not (0.25 <= self.vmem_headroom <= 8.0):
             raise ValueError(
                 f"vmem_headroom must be in [0.25, 8]: {self.vmem_headroom}"
+            )
+        if self.hier_min_clusters < 2:
+            # 1 would route every clustered scene through the super level;
+            # a single-cluster scene has nothing to skip.
+            raise ValueError(
+                f"hier_min_clusters must be >= 2: {self.hier_min_clusters}"
             )
         if self.fifo_depth < 1:
             # fifo_depth=0 would silently drop every retired pixel (the
