@@ -165,7 +165,7 @@ class RenderConfig:
     # 256: 2.65, 512: 2.45, 1024: 2.38, 2048: 3.27 s/launch — but under
     # the two-level kernel finer packets win again (sphere field 7.6 at
     # 512 vs 8.2 at 1024).  0 = auto: 512 on hier-kernel scenes
-    # (>= 192 clusters), 1024 otherwise.
+    # (>= hier_min_clusters), 1024 otherwise.
     pallas_rays_per_tile: int = 0
     # Cluster count at or above which in-VMEM scenes route to the
     # two-level (supercluster) kernel instead of the flat one.  At few
