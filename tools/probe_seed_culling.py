@@ -1,0 +1,176 @@
+"""Opportunity probe: would seeding per-lane best-t (hit prediction from
+the previous sample, reverified by one MT test) reduce packet-kernel MT
+work?  Host-side numpy simulation — no kernel build until the ceiling is
+known (docs/perf_notes.md round-3 lesson: measure the lever in situ
+before building it).
+
+Simulates the flat packet kernel's traversal exactly as shipped:
+per-octant front-to-back cluster order, per-lane best-t slab culling at
+PACKET granularity (a cluster is MT-tested iff ANY lane's [t_min,
+best_t) interval overlaps its AABB), spatial-sorted lane order — then
+replays it with every lane's best-t pre-seeded at its true hit t (the
+IDEAL prediction; real previous-sample reverified seeds can only do
+worse).  Reports MT cluster visits per packet for both.
+
+Usage: python tools/probe_seed_culling.py [--scene suitcase|monkey|tower]
+       [--rays-per-tile 1024] [--bounce]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def slab(o, d, lo, hi, t_min, t_max):
+    """Per-lane slab test: does [t_min, t_max) overlap the AABB?"""
+    inv = 1.0 / np.where(np.abs(d) < 1e-30, np.where(d >= 0, 1e-30, -1e-30), d)
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    tn = np.minimum(t0, t1).max(axis=-1)
+    tf = np.maximum(t0, t1).min(axis=-1)
+    return (tf >= np.maximum(tn, t_min)) & (tn <= t_max)
+
+
+def traverse(origins, dirs, t_hit, aabbs, order, rpt, seed):
+    """Count MT-visited clusters per packet replaying the kernel's loop.
+
+    seed=False: best starts at inf and converges as clusters are visited
+    front-to-back (the visited cluster's hits snap best_t to the true t
+    for lanes whose winner lives there — the kernel finds it there).
+    seed=True: best starts at the true t for every hit lane.
+    """
+    n = origins.shape[0]
+    c = aabbs.shape[0]
+    lo, hi = aabbs[:, 0:3], aabbs[:, 3:6]
+    visits = []
+    for p0 in range(0, n, rpt):
+        o = origins[p0 : p0 + rpt]
+        d = dirs[p0 : p0 + rpt]
+        th = t_hit[p0 : p0 + rpt]
+        oct_ = int(
+            (d[:, 0].mean() < 0) | ((d[:, 1].mean() < 0) << 1)
+            | ((d[:, 2].mean() < 0) << 2)
+        )
+        best = th.copy() if seed else np.full(len(o), np.inf)
+        nv = 0
+        for ci in order[oct_, :c]:
+            alive = slab(o, d, lo[ci], hi[ci], 0.01, best)
+            if alive.any():
+                nv += 1
+                # The kernel MT-tests the whole cluster; lanes whose true
+                # winner lives in ci snap to t_hit (closest-hit found —
+                # front-to-back order makes this the common case).
+                in_ci = cluster_of_hit[p0 : p0 + rpt] == ci
+                best = np.where(in_ci, np.minimum(best, th), best)
+        visits.append(nv)
+    return np.array(visits)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="suitcase",
+                    choices=["suitcase", "monkey", "tower"])
+    ap.add_argument("--rays-per-tile", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--bounce", action="store_true",
+                    help="also simulate one diffuse bounce batch")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.ops.intersect import intersect_scene
+    from tpu_pathtracer.ops.intersect_pallas import octant_sort
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.integrator import (
+        camera_arrays,
+        generate_camera_rays,
+    )
+    from tpu_pathtracer.scene.builder import load_scene
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils import rng
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    ref = "/root/reference"
+    files, scale, cam_args = {
+        "suitcase": (["suitcase.obj", "test.obj"], 0.05,
+                     dict(eye=(0, 2, 6), lookat=(0, 0.5, 0))),
+        "monkey": (["monkey.obj"], 1.0, dict(eye=(0, 1, 4), lookat=(0, 0.6, 0))),
+        "tower": (["tower.obj", "fish.obj", "test.obj"], 1.0,
+                  dict(eye=(0, 1.5, 5), lookat=(0, 0.6, 0))),
+    }[args.scene]
+    scene = load_scene(
+        [f"{ref}/{f}" for f in files], scale=scale,
+        env=make_env(procedural_hdr(64, 128)), rng_seed=0, accel="cluster",
+    )
+    acc = scene.accel
+    K = acc.cluster_size
+    cfg = RenderConfig(
+        width=args.width, height=args.height, samples_per_launch=1,
+        dof=False, env_mode="equirect", intersector="cluster",
+        use_pallas=False,
+    )
+    cam = camera_arrays(
+        Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg
+    )
+
+    # A mid-frame slab of pixels (the first rows are all sky — perf_notes
+    # measurement rules), streaming scanline order, then the shipped
+    # spatial sort.
+    n = 49152
+    start = (args.height // 2 - 20) * args.width
+    pix = jnp.arange(start, start + n, dtype=jnp.int32)
+    seeds0 = rng.make_seeds(pix, jnp.zeros_like(pix), jnp.int32(1))
+    o, d, seeds = generate_camera_rays(
+        cam, pix % cfg.width, pix // cfg.width, seeds0, cfg
+    )
+
+    def run(label, o, d):
+        os_, ds_, _ = octant_sort(
+            o, d, scene_lo=acc.scene_lo, scene_hi=acc.scene_hi,
+            spatial_bits=7,
+        )
+        hit = intersect_scene(scene, os_, ds_, 0.01, 1e16, cfg)
+        th = np.where(np.asarray(hit.hit), np.asarray(hit.t), np.inf)
+        global cluster_of_hit
+        cluster_of_hit = np.where(
+            np.asarray(hit.hit), np.asarray(hit.prim) // K, -1
+        )
+        aabbs = np.asarray(acc.aabb8)
+        order = np.asarray(acc.order)
+        on, dn = np.asarray(os_), np.asarray(ds_)
+        v0 = traverse(on, dn, th, aabbs, order, args.rays_per_tile, False)
+        v1 = traverse(on, dn, th, aabbs, order, args.rays_per_tile, True)
+        hitfrac = float(np.isfinite(th).mean())
+        print(
+            f"{label:10s} clusters={aabbs.shape[0]:4d} hit-lanes={hitfrac:.2f}  "
+            f"MT visits/packet: unseeded {v0.mean():6.2f}  "
+            f"ideal-seed {v1.mean():6.2f}  (-{100*(1-v1.mean()/max(v0.mean(),1e-9)):.0f}%)"
+        )
+        return hit
+
+    hit = run("primary", o, d)
+
+    if args.bounce:
+        # One cosine-hemisphere bounce from the hit points (miss lanes
+        # re-shoot the same ray — they stay env rays, as in the pool).
+        hp = np.asarray(hit.hit)
+        t = np.asarray(hit.t)
+        on = np.asarray(o)
+        dn = np.asarray(d)
+        bo = np.where(hp[:, None], on + t[:, None] * dn, on)
+        g = np.random.default_rng(0)
+        bd = g.normal(size=dn.shape).astype(np.float32)
+        bd /= np.linalg.norm(bd, axis=-1, keepdims=True)
+        bd = np.where(hp[:, None], bd, dn)
+        run("bounce", jnp.asarray(bo), jnp.asarray(bd))
+
+
+if __name__ == "__main__":
+    main()
