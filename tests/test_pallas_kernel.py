@@ -304,6 +304,41 @@ def test_spatial_sort_roundtrip(clustered):
     np.testing.assert_array_equal(prim, np.asarray(hb.prim))
 
 
+def test_dir_bits_sort_roundtrip(clustered):
+    """dir_bits-refined key: still a bijection; refined keys stay
+    octant-major (the magnitude bits sit BELOW the octant bits); kernel
+    results restore to brute exactly; u32 overflow clamp engages."""
+    from tpu_pathtracer.ops.intersect_pallas import octant_sort, ray_sort_key
+
+    rs = np.random.RandomState(7)
+    n = 200
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    o_s, d_s, restore = octant_sort(
+        o, d, scene_lo=acc.scene_lo, scene_hi=acc.scene_hi,
+        spatial_bits=5, dir_bits=2,
+    )
+    np.testing.assert_array_equal(np.asarray(restore(o_s)), np.asarray(o))
+    np.testing.assert_array_equal(np.asarray(restore(d_s)), np.asarray(d))
+    bt_s, prim_s, _ = run_kernel(clustered, o_s, d_s)
+    prim = np.asarray(restore(jnp.asarray(prim_s)))
+    hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+
+    # Refinement only reorders WITHIN (cell, octant) groups: stripping
+    # the low dir bits recovers the unrefined key order.
+    k_fine = np.asarray(ray_sort_key(o, d, acc.scene_lo, acc.scene_hi, 5, 2))
+    k_base = np.asarray(ray_sort_key(o, d, acc.scene_lo, acc.scene_hi, 5))
+    np.testing.assert_array_equal(k_fine >> 6, k_base)
+    # 3*7 spatial + 3 octant leaves 2 dir bits of u32 headroom; 4 must
+    # clamp to 2, not overflow.
+    k7 = np.asarray(ray_sort_key(o, d, acc.scene_lo, acc.scene_hi, 7, 4))
+    np.testing.assert_array_equal(
+        k7, np.asarray(ray_sort_key(o, d, acc.scene_lo, acc.scene_hi, 7, 2))
+    )
+
+
 def test_hier_kernel_matches_brute():
     """Two-level (supercluster) kernel vs brute on a many-cluster scene:
     cluster_size=8 over the three-spheres scene yields ~200 clusters /

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--sort-rays", default="auto",
                     choices=["auto", "off", "octant", "spatial"])
     ap.add_argument("--spatial-bits", type=int, default=0)
+    ap.add_argument("--dir-bits", type=int, default=0)
     ap.add_argument("--super-branch", type=int, default=8)
     ap.add_argument("--hier-min", type=int, default=192,
                     help="cluster count that routes to the two-level kernel")
@@ -85,7 +86,7 @@ def main():
         fifo_depth=args.fifo_depth, flush_every=args.flush_every,
         deferred_shade=args.deferred, deferred_chunk_div=args.chunk_div,
         sort_rays=args.sort_rays, sort_spatial_bits=args.spatial_bits,
-        hier_min_clusters=args.hier_min,
+        sort_dir_bits=args.dir_bits, hier_min_clusters=args.hier_min,
     )
     cam = camera_arrays(
         Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg
@@ -103,7 +104,8 @@ def main():
         f"lanes={args.lanes} cluster={args.cluster_size} rpt={args.rays_per_tile} "
         f"fifo={args.fifo_depth}/{args.flush_every} "
         f"deferred={int(args.deferred)}/{args.chunk_div} "
-        f"sort={args.sort_rays}/{args.spatial_bits} hier>={args.hier_min} "
+        f"sort={args.sort_rays}/{args.spatial_bits}+d{args.dir_bits} "
+        f"hier>={args.hier_min} "
         f"spp={args.spp}: {dt:.3f} s/launch  sum={float(img.sum()):.3e}"
     )
 

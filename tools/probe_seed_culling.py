@@ -49,9 +49,11 @@ def traverse(origins, dirs, t_hit, aabbs, order, rpt, seed):
         o = origins[p0 : p0 + rpt]
         d = dirs[p0 : p0 + rpt]
         th = t_hit[p0 : p0 + rpt]
+        # Octant convention matches ray_sort_key / octant_orders: bit set
+        # when the direction component is POSITIVE.
         oct_ = int(
-            (d[:, 0].mean() < 0) | ((d[:, 1].mean() < 0) << 1)
-            | ((d[:, 2].mean() < 0) << 2)
+            (d[:, 0].mean() > 0) | ((d[:, 1].mean() > 0) << 1)
+            | ((d[:, 2].mean() > 0) << 2)
         )
         best = th.copy() if seed else np.full(len(o), np.inf)
         nv = 0
@@ -77,6 +79,9 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--bounce", action="store_true",
                     help="also simulate one diffuse bounce batch")
+    ap.add_argument("--dir-bits", type=int, default=0,
+                    help="extra direction bits per axis BELOW the octant "
+                    "bits in the sort key (0 = shipped key)")
     args = ap.parse_args()
 
     import jax
@@ -131,11 +136,45 @@ def main():
         cam, pix % cfg.width, pix // cfg.width, seeds0, cfg
     )
 
-    def run(label, o, d):
-        os_, ds_, _ = octant_sort(
-            o, d, scene_lo=acc.scene_lo, scene_hi=acc.scene_hi,
-            spatial_bits=7,
+    def sort_custom(o, d, db):
+        """Shipped spatial key (morton<<3 | octant) with `db` extra
+        direction-magnitude bits per axis appended below the octant —
+        host-side experiment for the sort-key design space."""
+        on, dn = np.asarray(o), np.asarray(d)
+        lo = np.asarray(acc.scene_lo)
+        hi = np.asarray(acc.scene_hi)
+        bits = 7
+        q = np.clip(
+            ((on - lo) / np.maximum(hi - lo, 1e-9) * (1 << bits)).astype(np.int64),
+            0, (1 << bits) - 1,
         )
+        m = np.zeros(len(on), np.int64)
+        for b in range(bits):
+            for a in range(3):
+                m |= ((q[:, a] >> b) & 1) << (3 * b + a)
+        octant = (
+            (dn[:, 0] > 0).astype(np.int64)
+            | ((dn[:, 1] > 0).astype(np.int64) << 1)
+            | ((dn[:, 2] > 0).astype(np.int64) << 2)
+        )
+        key = (m << 3) | octant
+        if db:
+            mag = np.clip(
+                (np.abs(dn) * (1 << db)).astype(np.int64), 0, (1 << db) - 1
+            )
+            fine = (mag[:, 0] << (2 * db)) | (mag[:, 1] << db) | mag[:, 2]
+            key = (key << (3 * db)) | fine
+        perm = np.argsort(key, kind="stable")
+        return jnp.asarray(on[perm]), jnp.asarray(dn[perm]), None
+
+    def run(label, o, d):
+        if args.dir_bits:
+            os_, ds_, _ = sort_custom(o, d, args.dir_bits)
+        else:
+            os_, ds_, _ = octant_sort(
+                o, d, scene_lo=acc.scene_lo, scene_hi=acc.scene_hi,
+                spatial_bits=7,
+            )
         hit = intersect_scene(scene, os_, ds_, 0.01, 1e16, cfg)
         th = np.where(np.asarray(hit.hit), np.asarray(hit.t), np.inf)
         global cluster_of_hit

@@ -89,12 +89,17 @@ class ClusterAccel:
         bits = cfg.sort_spatial_bits
         if bits == 0:   # auto: finer cells for compact scenes
             bits = 7 if self.num_clusters < 256 else 5
+        db = cfg.sort_dir_bits
+        if db == 0:     # auto: pending TPU measurement (perf_notes r3)
+            db = 0
+        db = max(db, 0)  # -1 (off) -> 0
         return octant_sort(
             origins,
             directions,
             scene_lo=self.scene_lo,
             scene_hi=self.scene_hi,
             spatial_bits=bits if mode == "spatial" else 0,
+            dir_bits=db,
         )
 
     def intersect(self, vertices, origins, directions, t_min, t_max, cfg) -> Hit:

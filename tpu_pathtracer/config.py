@@ -148,6 +148,16 @@ class RenderConfig:
     # tower 2.35->2.29 s), 5 for spread ones (766-cluster field: 8.2 vs
     # 9.0 s at bits 7 — finer cells over-fragment the queue order there).
     sort_spatial_bits: int = 0
+    # Direction-magnitude bits per axis appended BELOW the octant bits of
+    # the sort key (ops/intersect_pallas.ray_sort_key).  Primary lanes
+    # all share one origin cell, so without refinement a packet is 1024
+    # consecutive queue lanes of one octant — a scanline row's spread of
+    # directions; quantising |d| groups them into tight frustum wedges
+    # (host-sim: suitcase primary packets 13.4 -> 8.4 MT cluster visits
+    # at 2 bits, monkey 18.6 -> 11.1) while bounce packets barely move.
+    # 0 = auto (resolved per scene after TPU measurement — see
+    # docs/perf_notes.md); -1 = off.  Clamped so the key fits u32.
+    sort_dir_bits: int = 0
     # Deferred (hit-compacted) shading: instead of running the closest-hit
     # program on every lane (miss lanes pay the texture-bundle gather and
     # the full GGX math for nothing — ~60% of traced segments are misses
@@ -256,6 +266,11 @@ class RenderConfig:
         if not (0.25 <= self.vmem_headroom <= 8.0):
             raise ValueError(
                 f"vmem_headroom must be in [0.25, 8]: {self.vmem_headroom}"
+            )
+        if not (-1 <= self.sort_dir_bits <= 4):
+            raise ValueError(
+                f"sort_dir_bits must be -1 (off), 0 (auto) or 1..4: "
+                f"{self.sort_dir_bits}"
             )
         if self.hier_min_clusters < 2:
             # 1 would route every clustered scene through the super level;

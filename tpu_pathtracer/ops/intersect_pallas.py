@@ -1348,12 +1348,25 @@ def ray_sort_key(
     scene_lo=None,
     scene_hi=None,
     spatial_bits: int = 0,
+    dir_bits: int = 0,
 ) -> jnp.ndarray:
-    """[N] u32 packet-coherence sort key: (origin Morton cell << 3) | octant.
+    """[N] u32 packet-coherence sort key: (origin Morton cell << 3) | octant,
+    optionally refined by `dir_bits` direction-magnitude bits per axis
+    BELOW the octant bits.
 
     spatial_bits=0 gives the pure direction-octant key.  Consumed by
     `octant_sort`; kept separate so alternative consumers (the removed
-    pool sort was one, git 24f2f76) share the exact key definition."""
+    pool sort was one, git 24f2f76) share the exact key definition.
+
+    dir_bits quantises |d| per axis under the octant: primary lanes all
+    share one origin cell, so without it a packet is 1024 consecutive
+    QUEUE lanes of one octant — a whole scanline row's spread of
+    directions.  Direction-magnitude refinement groups them into tight
+    frustum wedges (host-sim: suitcase primary packets 13.4 -> 8.4 MT
+    cluster visits, monkey 18.6 -> 11.1 at dir_bits=2) while bounce
+    packets are barely affected (tools/probe_seed_culling.py).  The key
+    is clamped so 3*spatial_bits + 3 + 3*dir_bits fits u32."""
+    dir_bits = min(dir_bits, max(0, (32 - 3 - 3 * spatial_bits) // 3))
     key = (
         (directions[:, 0] > 0).astype(jnp.uint32)
         + 2 * (directions[:, 1] > 0).astype(jnp.uint32)
@@ -1371,6 +1384,15 @@ def ray_sort_key(
             | (_part1by2(qi[:, 2]) << 2)
         )
         key = key | (morton << 3)
+    if dir_bits:
+        cells = jnp.float32((1 << dir_bits) - 1)
+        mag = (jnp.clip(jnp.abs(directions), 0.0, 1.0) * cells).astype(
+            jnp.uint32
+        )
+        fine = (
+            (mag[:, 0] << (2 * dir_bits)) | (mag[:, 1] << dir_bits) | mag[:, 2]
+        )
+        key = (key << (3 * dir_bits)) | fine
     return key
 
 
@@ -1380,6 +1402,7 @@ def octant_sort(
     scene_lo=None,
     scene_hi=None,
     spatial_bits: int = 0,
+    dir_bits: int = 0,
 ):
     """Sort rays by direction octant (optionally spatial-major); returns
     (origins_s, directions_s, restore) where restore(x) un-permutes
@@ -1402,7 +1425,9 @@ def octant_sort(
     cheaper than a ~40 ns/row scatter).  Total ~1 ms.
     """
     n = origins.shape[0]
-    key = ray_sort_key(origins, directions, scene_lo, scene_hi, spatial_bits)
+    key = ray_sort_key(
+        origins, directions, scene_lo, scene_hi, spatial_bits, dir_bits
+    )
     iota = jnp.arange(n, dtype=jnp.int32)
     _, perm = jax.lax.sort_key_val(key, iota)       # slot -> lane
     _, inv = jax.lax.sort_key_val(perm, iota)       # lane -> slot
