@@ -73,7 +73,7 @@ def traverse(origins, dirs, t_hit, aabbs, order, rpt, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="suitcase",
-                    choices=["suitcase", "monkey", "tower"])
+                    choices=["suitcase", "monkey", "tower", "highpoly"])
     ap.add_argument("--rays-per-tile", type=int, default=1024)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
@@ -109,11 +109,22 @@ def main():
         "monkey": (["monkey.obj"], 1.0, dict(eye=(0, 1, 4), lookat=(0, 0.6, 0))),
         "tower": (["tower.obj", "fish.obj", "test.obj"], 1.0,
                   dict(eye=(0, 1.5, 5), lookat=(0, 0.6, 0))),
+        "highpoly": ([], 1.0, dict(eye=(0, 3, 10), lookat=(0, 1, 0))),
     }[args.scene]
-    scene = load_scene(
-        [f"{ref}/{f}" for f in files], scale=scale,
-        env=make_env(procedural_hdr(64, 128)), rng_seed=0, accel="cluster",
-    )
+    env = make_env(procedural_hdr(64, 128))
+    if args.scene == "highpoly":
+        from tpu_pathtracer.accel.build import build_accel
+        from tpu_pathtracer.scene.procedural import high_poly_scene
+
+        scene = build_accel(
+            high_poly_scene(total_tris=100_000).replace(env=env),
+            kind="cluster",
+        )
+    else:
+        scene = load_scene(
+            [f"{ref}/{f}" for f in files], scale=scale,
+            env=env, rng_seed=0, accel="cluster",
+        )
     acc = scene.accel
     K = acc.cluster_size
     cfg = RenderConfig(
@@ -136,6 +147,8 @@ def main():
         cam, pix % cfg.width, pix // cfg.width, seeds0, cfg
     )
 
+    sbits = 7 if acc.num_clusters < 256 else 5
+
     def sort_custom(o, d, db):
         """Shipped spatial key (morton<<3 | octant) with `db` extra
         direction-magnitude bits per axis appended below the octant —
@@ -143,7 +156,7 @@ def main():
         on, dn = np.asarray(o), np.asarray(d)
         lo = np.asarray(acc.scene_lo)
         hi = np.asarray(acc.scene_hi)
-        bits = 7
+        bits = sbits
         q = np.clip(
             ((on - lo) / np.maximum(hi - lo, 1e-9) * (1 << bits)).astype(np.int64),
             0, (1 << bits) - 1,
@@ -173,7 +186,7 @@ def main():
         else:
             os_, ds_, _ = octant_sort(
                 o, d, scene_lo=acc.scene_lo, scene_hi=acc.scene_hi,
-                spatial_bits=7,
+                spatial_bits=sbits,
             )
         hit = intersect_scene(scene, os_, ds_, 0.01, 1e16, cfg)
         th = np.where(np.asarray(hit.hit), np.asarray(hit.t), np.inf)

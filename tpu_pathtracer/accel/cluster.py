@@ -89,10 +89,9 @@ class ClusterAccel:
         bits = cfg.sort_spatial_bits
         if bits == 0:   # auto: finer cells for compact scenes
             bits = 7 if self.num_clusters < 256 else 5
-        db = cfg.sort_dir_bits
-        if db == 0:     # auto: pending TPU measurement (perf_notes r3)
-            db = 0
-        db = max(db, 0)  # -1 (off) -> 0
+        # sort_dir_bits: -1/0 -> no refinement ("auto" currently resolves
+        # to off pending the TPU A/B — docs/perf_notes.md round 3).
+        db = max(cfg.sort_dir_bits, 0)
         return octant_sort(
             origins,
             directions,
