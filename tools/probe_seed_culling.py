@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--bounce", action="store_true",
                     help="also simulate one diffuse bounce batch")
+    ap.add_argument("--cluster-size", type=int, default=128,
+                    help="rebuild the accel at this cluster size (host sim "
+                    "of finer culling; MT tests/lane = visits * K)")
     ap.add_argument("--dir-bits", type=int, default=0,
                     help="extra direction bits per axis BELOW the octant "
                     "bits in the sort key (0 = shipped key)")
@@ -118,12 +121,13 @@ def main():
 
         scene = build_accel(
             high_poly_scene(total_tris=100_000).replace(env=env),
-            kind="cluster",
+            kind="cluster", cluster_size=args.cluster_size,
         )
     else:
         scene = load_scene(
             [f"{ref}/{f}" for f in files], scale=scale,
             env=env, rng_seed=0, accel="cluster",
+            accel_kw={"cluster_size": args.cluster_size},
         )
     acc = scene.accel
     K = acc.cluster_size
@@ -201,9 +205,11 @@ def main():
         v1 = traverse(on, dn, th, aabbs, order, args.rays_per_tile, True)
         hitfrac = float(np.isfinite(th).mean())
         print(
-            f"{label:10s} clusters={aabbs.shape[0]:4d} hit-lanes={hitfrac:.2f}  "
+            f"{label:10s} clusters={aabbs.shape[0]:4d} K={K:3d} "
+            f"hit-lanes={hitfrac:.2f}  "
             f"MT visits/packet: unseeded {v0.mean():6.2f}  "
-            f"ideal-seed {v1.mean():6.2f}  (-{100*(1-v1.mean()/max(v0.mean(),1e-9)):.0f}%)"
+            f"ideal-seed {v1.mean():6.2f}  (-{100*(1-v1.mean()/max(v0.mean(),1e-9)):.0f}%)  "
+            f"MT tests/lane: {v0.mean()*K:7.0f}"
         )
         return hit
 
