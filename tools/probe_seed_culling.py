@@ -70,6 +70,42 @@ def traverse(origins, dirs, t_hit, aabbs, order, rpt, seed):
     return np.array(visits)
 
 
+def traverse_hier(origins, dirs, t_hit, child8, super8, order_s, branch,
+                  rpt, n_clusters):
+    """Two-level replay mirroring _cluster_kernel_hier: every super is
+    slab-tested (scalar iter each); a passing super slab-tests its
+    `branch` children (scalar iter each); passing children are MT-tested.
+    Returns (scalar_iters, mt_visits) per packet."""
+    n = origins.shape[0]
+    s_count = super8.shape[0]
+    out = []
+    for p0 in range(0, n, rpt):
+        o = origins[p0 : p0 + rpt]
+        d = dirs[p0 : p0 + rpt]
+        th = t_hit[p0 : p0 + rpt]
+        oct_ = int(
+            (d[:, 0].mean() > 0) | ((d[:, 1].mean() > 0) << 1)
+            | ((d[:, 2].mean() > 0) << 2)
+        )
+        best = np.full(len(o), np.inf)
+        scalar = s_count   # every super pays one scalar slab iteration
+        mt = 0
+        for s in order_s[oct_, :s_count]:
+            if not slab(o, d, super8[s, 0:3], super8[s, 3:6], 0.01, best).any():
+                continue
+            for j in range(branch):
+                c = s * branch + j
+                if c >= n_clusters:
+                    continue
+                scalar += 1
+                if slab(o, d, child8[c, 0:3], child8[c, 3:6], 0.01, best).any():
+                    mt += 1
+                    in_ci = cluster_of_hit[p0 : p0 + rpt] == c
+                    best = np.where(in_ci, np.minimum(best, th), best)
+        out.append((scalar, mt))
+    return np.array(out)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="suitcase",
@@ -204,12 +240,21 @@ def main():
         v0 = traverse(on, dn, th, aabbs, order, args.rays_per_tile, False)
         v1 = traverse(on, dn, th, aabbs, order, args.rays_per_tile, True)
         hitfrac = float(np.isfinite(th).mean())
+        hier = ""
+        if acc.aabb8_super is not None:
+            sh = traverse_hier(
+                on, dn, th, np.asarray(acc.aabb8_child),
+                np.asarray(acc.aabb8_super), np.asarray(acc.order_super),
+                acc.super_branch, args.rays_per_tile, aabbs.shape[0],
+            )
+            hier = (f"  | hier: scalar {sh[:, 0].mean():6.1f} "
+                    f"MT {sh[:, 1].mean():6.2f} (flat scalar {aabbs.shape[0]})")
         print(
             f"{label:10s} clusters={aabbs.shape[0]:4d} K={K:3d} "
             f"hit-lanes={hitfrac:.2f}  "
             f"MT visits/packet: unseeded {v0.mean():6.2f}  "
             f"ideal-seed {v1.mean():6.2f}  (-{100*(1-v1.mean()/max(v0.mean(),1e-9)):.0f}%)  "
-            f"MT tests/lane: {v0.mean()*K:7.0f}"
+            f"MT tests/lane: {v0.mean()*K:7.0f}{hier}"
         )
         return hit
 
