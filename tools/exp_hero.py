@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--hier-min", type=int, default=192,
                     help="cluster count that routes to the two-level kernel")
     ap.add_argument("--deferred", action="store_true")
+    ap.add_argument("--nee", action="store_true",
+                    help="env importance sampling (forces rr_mode=standard)")
     ap.add_argument("--chunk-div", type=int, default=4)
     ap.add_argument("--scene", default="suitcase",
                     choices=["suitcase", "monkey", "tower", "highpoly"])
@@ -52,6 +54,10 @@ def main():
 
     ref = "/root/reference"
     env = make_env(procedural_hdr(256, 512))
+    if args.nee:
+        from tpu_pathtracer.render.envmap import with_importance_sampling
+
+        env = with_importance_sampling(env)
     files, scale, cam_args = {
         "highpoly": ([], 1.0, dict(eye=(0, 3, 10), lookat=(0, 1, 0))),
         "suitcase": (["suitcase.obj", "test.obj"], 0.05,
@@ -87,6 +93,8 @@ def main():
         deferred_shade=args.deferred, deferred_chunk_div=args.chunk_div,
         sort_rays=args.sort_rays, sort_spatial_bits=args.spatial_bits,
         sort_dir_bits=args.dir_bits, hier_min_clusters=args.hier_min,
+        env_importance_sampling=args.nee,
+        rr_mode="standard" if args.nee else "reference",
     )
     cam = camera_arrays(
         Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg
@@ -106,7 +114,7 @@ def main():
         f"deferred={int(args.deferred)}/{args.chunk_div} "
         f"sort={args.sort_rays}/{args.spatial_bits}+d{args.dir_bits} "
         f"hier>={args.hier_min} "
-        f"spp={args.spp}: {dt:.3f} s/launch  sum={float(img.sum()):.3e}"
+        f"nee={int(args.nee)} spp={args.spp}: {dt:.3f} s/launch  sum={float(img.sum()):.3e}"
     )
 
 
