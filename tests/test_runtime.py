@@ -49,6 +49,27 @@ def test_camera_change_resets(scene):
     assert float(np.abs(np.asarray(r.accum)).max()) == 0.0
 
 
+def test_denoise_display_path(scene):
+    """denoise=True filters the displayed/saved image only: the raw
+    accumulation (and therefore checkpoints and the progressive
+    estimator) is untouched, and the G-buffer invalidates on camera
+    change."""
+    raw = ProgressiveRenderer(scene, Camera(), cfg_())
+    den = ProgressiveRenderer(scene, Camera(), cfg_(), denoise=True)
+    raw.step()
+    den.step()
+    np.testing.assert_array_equal(np.asarray(raw.accum), np.asarray(den.accum))
+    img_raw = raw.image_u8()
+    img_den = den.image_u8()
+    assert img_den.shape == img_raw.shape
+    assert np.isfinite(den.image_hdr()).all()
+    # The filter actually does something on a noisy 2-spp sphere frame.
+    assert not np.array_equal(img_raw, img_den)
+    assert den._aov is not None
+    den.set_camera(den.camera.orbit(10, 0))
+    assert den._aov is None
+
+
 def test_checkpoint_resume_bitwise(scene, tmp_path):
     ck = str(tmp_path / "ck.npz")
     cfg = cfg_()

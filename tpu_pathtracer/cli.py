@@ -47,6 +47,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--materials", default="convention", choices=["convention", "mtl"], help="material source for OBJ scenes")
     p.add_argument("--rr-mode", default=None, choices=["reference", "standard"], help="Russian-roulette estimator (default: reference, or standard when --nee is on)")
     p.add_argument("--texture-lod", default=None, choices=["auto", "off", "mip", "split"], help="texture mip policy for big texture pools (config.texture_lod)")
+    p.add_argument("--aov-prefix", default="", help="also write <prefix>_normal/_depth/_albedo.png G-buffer passes (render/aov.py)")
+    p.add_argument("--denoise", action="store_true", help="edge-avoiding A-Trous denoise of the output/display image, guided by a G-buffer AOV pass (beyond reference; accumulation and checkpoints stay raw)")
     p.add_argument("--nee", action="store_true", help="environment importance sampling (next-event estimation; beyond reference)")
     p.add_argument("--tile-pixels", type=int, default=None, help="pixels per launch tile (0 = whole frame)")
     p.add_argument("--checkpoint", default="", help="checkpoint file; saved every --checkpoint-every subframes")
@@ -239,6 +241,7 @@ def main(argv=None) -> int:
         scene, camera, cfg, mesh=mesh,
         shard_mode=args.shard if args.shard != "none" else "pixels",
         preview_budget_s=args.preview_budget_ms / 1e3,
+        denoise=args.denoise,
     )
 
     if args.resume and args.checkpoint:
@@ -305,6 +308,7 @@ def main(argv=None) -> int:
                 scene, camera, cfg, mesh=mesh,
                 shard_mode=args.shard if args.shard != "none" else "pixels",
                 preview_budget_s=args.preview_budget_ms / 1e3,
+                denoise=args.denoise,
             )
             run_maybe_profiled()
         else:
@@ -312,6 +316,23 @@ def main(argv=None) -> int:
 
     if args.checkpoint:
         renderer.save_checkpoint(args.checkpoint)
+
+    if args.aov_prefix:
+        import numpy as np
+
+        from tpu_pathtracer.render.aov import render_aov
+
+        aov = render_aov(scene, renderer._cam_arrays, cfg)
+        n8 = np.asarray((aov["normal"] * 0.5 + 0.5) * 255.0).astype(np.uint8)
+        d = np.asarray(aov["depth"])
+        d8 = (255.0 * d / max(float(d.max()), 1e-6)).astype(np.uint8)
+        d8 = np.repeat(d8[..., None], 3, axis=-1)   # save_png wants RGB
+        a8 = np.asarray(
+            np.clip(aov["albedo"], 0.0, 1.0) * 255.0
+        ).astype(np.uint8)
+        for name, img in (("normal", n8), ("depth", d8), ("albedo", a8)):
+            save_image(f"{args.aov_prefix}_{name}.png", img[::-1])
+        plog.info("output", f"wrote {args.aov_prefix}_{{normal,depth,albedo}}.png")
 
     outfile = args.file or "out.png"
     if outfile.lower().endswith(".exr"):

@@ -35,8 +35,15 @@ from tpu_pathtracer.utils import logging as plog
 class ProgressiveRenderer:
     """Owns the accumulation buffer and the subframe counter."""
 
-    def __init__(self, scene, camera: Camera, cfg: RenderConfig, mesh=None, shard_mode: str = "pixels", preview_scale="auto", preview_budget_s: float = 0.125):
+    def __init__(self, scene, camera: Camera, cfg: RenderConfig, mesh=None, shard_mode: str = "pixels", preview_scale="auto", preview_budget_s: float = 0.125, denoise: bool = False):
         self.scene = scene
+        # Edge-avoiding A-Trous denoise of the displayed/saved image,
+        # guided by a per-camera G-buffer (render/aov.py).  Display-path
+        # only: the accumulation buffer, checkpoints and the progressive
+        # estimator are untouched (beyond-reference feature, off by
+        # default — goldens unaffected).
+        self.denoise = denoise
+        self._aov = None
         self.cfg = cfg
         self.camera = camera.with_aspect(cfg.width, cfg.height)
         self.mesh = mesh
@@ -104,6 +111,7 @@ class ProgressiveRenderer:
         """Camera change resets accumulation (cpp:270-271)."""
         self.camera = camera.with_aspect(self.cfg.width, self.cfg.height)
         self._cam_arrays = camera_arrays(self.camera, self.cfg)
+        self._aov = None            # G-buffer is per-camera
         self.reset()
 
     def reset(self) -> None:
@@ -197,12 +205,26 @@ class ProgressiveRenderer:
                 out.shape[1] - 1,
             )
             return out[yi][:, xi]
-        out = to_uint8(post_process(self.accum, self.cfg))
+        out = to_uint8(post_process(self._linear_image(), self.cfg))
         return np.asarray(out)[::-1]
 
+    def _linear_image(self) -> jnp.ndarray:
+        """Linear radiance for display/output: the accumulation buffer,
+        A-Trous-denoised when enabled (and something is accumulated)."""
+        if not self.denoise or self.subframe == 0:
+            return self.accum
+        if self._aov is None:
+            from tpu_pathtracer.render.aov import render_aov
+
+            self._aov = render_aov(self.scene, self._cam_arrays, self.cfg)
+        from tpu_pathtracer.render.aov import atrous_denoise
+
+        return atrous_denoise(self.accum, self._aov)
+
     def image_hdr(self) -> np.ndarray:
-        """Raw linear HDR accumulation (row 0 = top) for EXR output."""
-        return np.asarray(self.accum)[::-1]
+        """Linear HDR image (row 0 = top) for EXR output; denoised when
+        enabled (the raw accumulation stays in checkpoints)."""
+        return np.asarray(self._linear_image())[::-1]
 
     def stats(self) -> dict:
         times = self.frame_times[1:] or self.frame_times  # drop compile
