@@ -68,6 +68,10 @@ def test_denoise_display_path(scene):
     assert den._aov is not None
     den.set_camera(den.camera.orbit(10, 0))
     assert den._aov is None
+    # Denoised in-motion preview: finite and displayed at full size.
+    assert den.step_preview()
+    img = den.image_u8()
+    assert img.shape == img_raw.shape and np.isfinite(img).all()
 
 
 def test_checkpoint_resume_bitwise(scene, tmp_path):

@@ -132,6 +132,16 @@ class ProgressiveRenderer:
             self.camera.with_aspect(pcfg.width, pcfg.height), pcfg
         )
         frame = render_frame(self.scene, pcam, pcfg, jnp.int32(self.subframe))
+        if self.denoise:
+            # 1-spp preview frames benefit most: one cheap G-buffer pass
+            # at preview resolution (center rays, single intersect) turns
+            # speckle into a stable image while the camera moves.
+            from tpu_pathtracer.render.aov import atrous_denoise, render_aov
+
+            frame = atrous_denoise(
+                frame, render_aov(self.scene, pcam, pcfg), iterations=3,
+                sigma_color=4.0,
+            )
         frame.block_until_ready()
         self._preview_img = frame
         if self._pv_auto:
