@@ -152,6 +152,14 @@ def test_viewer_endpoints(scene):
             == b"ok"
         )
         assert r.cfg.dof  # toggled from False
+        assert "denoise" in stats and not stats["denoise"]
+        assert (
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/toggle_denoise"
+            ).read()
+            == b"ok"
+        )
+        assert r.denoise  # toggled from False
     finally:
         stop.set()
         httpd.shutdown()

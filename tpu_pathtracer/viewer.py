@@ -44,13 +44,14 @@ setInterval(async()=>{const r=await fetch('/stats');const s=await r.json();
  hud.textContent=`${s.spp} spp | ${s.ms_per_frame?.toFixed(1)??'…'} ms/frame | `+
    `${((s.paths_per_sec??0)/1e6).toFixed(2)} Mpaths/s`+
    (s.preview_scale?` | pv 1/${s.preview_scale} ${s.preview_ms?.toFixed(0)}ms`:'')+
-   ` | dof:${s.dof?'on':'off'} (G toggles, R resets)`;},500);
+   ` | dof:${s.dof?'on':'off'} dn:${s.denoise?'on':'off'} (G dof, D denoise, R resets)`;},500);
 img.onmousedown=e=>{drag=true;px=e.clientX;py=e.clientY;shift=e.shiftKey;};
 window.onmouseup=()=>drag=false;
 window.onmousemove=e=>{if(!drag)return;const dx=e.clientX-px,dy=e.clientY-py;px=e.clientX;py=e.clientY;
  fetch((shift?`/pan?dx=${-dx*0.01}&dy=${dy*0.01}`:`/orbit?dyaw=${-dx*0.4}&dpitch=${dy*0.4}`));};
 window.onwheel=e=>fetch(`/zoom?f=${e.deltaY>0?1.1:0.9}`);
 window.onkeydown=e=>{if(e.key==='g'||e.key==='G')fetch('/toggle_dof');
+ if(e.key==='d'||e.key==='D')fetch('/toggle_denoise');
  if(e.key==='r'||e.key==='R')fetch('/reset');};
 </script></body></html>"""
 
@@ -105,6 +106,7 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
                     with lock:
                         st = renderer.stats()
                         st["dof"] = renderer.cfg.dof
+                        st["denoise"] = renderer.denoise
                         st["spp"] = renderer.spp
                     self._send(200, json.dumps(st).encode(), "application/json")
                 elif url.path == "/orbit":
@@ -129,6 +131,11 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
                                 float(q.get("dx", 0)), float(q.get("dy", 0))
                             )
                         )
+                    self._send(200, b"ok")
+                elif url.path == "/toggle_denoise":
+                    # Display-path only: no accumulation reset needed.
+                    with lock:
+                        renderer.denoise = not renderer.denoise
                     self._send(200, b"ok")
                 elif url.path == "/toggle_dof":
                     with lock:
