@@ -118,6 +118,37 @@ def test_denoise_firefly_suppressed(aov):
     assert abs(out[hit].mean() - 0.3) < 0.05
 
 
+def test_denoise_improves_ssim_vs_converged(scene, cfg, aov):
+    """End-to-end value check: a denoised 1-spp frame is closer (SSIM on
+    the post-processed image) to a converged render than the raw 1-spp
+    frame is."""
+    from tpu_pathtracer.render.film import post_process, to_uint8
+    from tpu_pathtracer.render.integrator import render_frame
+    from tpu_pathtracer.utils.ssim import ssim
+
+    cam = camera_arrays(
+        Camera(eye=(0, 2, 8), lookat=(0, 1, 0)).with_aspect(
+            cfg.width, cfg.height
+        ),
+        cfg,
+    )
+    cfg1 = cfg.replace(samples_per_launch=1, max_depth=4)
+    frames = [
+        np.asarray(render_frame(scene, cam, cfg1, jnp.int32(k)))
+        for k in range(32)
+    ]
+    clean = np.mean(frames, axis=0)
+    noisy = jnp.asarray(frames[0])
+    den = atrous_denoise(noisy, aov, sigma_color=4.0)
+
+    def shown(x):
+        return np.asarray(to_uint8(post_process(jnp.asarray(x), cfg1))) / 255.0
+
+    s_noisy = ssim(shown(noisy), shown(clean))
+    s_den = ssim(shown(den), shown(clean))
+    assert s_den > s_noisy + 0.05, (s_noisy, s_den)
+
+
 def test_denoise_respects_hit_miss_boundary(aov):
     """Environment pixels never bleed into surface pixels."""
     h, w = aov["depth"].shape
