@@ -106,6 +106,49 @@ def traverse_hier(origins, dirs, t_hit, child8, super8, order_s, branch,
     return np.array(out)
 
 
+def traverse_two_phase(origins, dirs, t_hit, aabbs, order, rpt, r_near):
+    """Two-phase closest hit: pass 1 bounds every lane to [t_min, r_near]
+    (distant clusters fail the slab's tnear <= t_max), pass 2 re-traverses
+    ONLY the pass-1 misses on [r_near, inf) after re-sorting them into
+    dense packets.  Exact: closest hit in [tmin,inf) = closest in
+    [tmin,r) if one exists else closest in [r,inf).  Returns total MT
+    visits normalised per original packet for comparability."""
+    n = origins.shape[0]
+    c = aabbs.shape[0]
+    lo, hi = aabbs[:, 0:3], aabbs[:, 3:6]
+    total_visits = 0
+
+    def one_pass(o, d, th, tmin, tmax_init):
+        nonlocal total_visits
+        for p0 in range(0, len(o), rpt):
+            op = o[p0 : p0 + rpt]
+            dp = d[p0 : p0 + rpt]
+            tp = th[p0 : p0 + rpt]
+            oct_ = int(
+                (dp[:, 0].mean() > 0) | ((dp[:, 1].mean() > 0) << 1)
+                | ((dp[:, 2].mean() > 0) << 2)
+            )
+            best = np.minimum(np.full(len(op), np.inf), tmax_init)
+            for ci in order[oct_, :c]:
+                alive = slab(op, dp, lo[ci], hi[ci], tmin, best)
+                if alive.any():
+                    total_visits += 1
+                    in_ci = cluster_of_hit_g[p0 : p0 + rpt] == ci
+                    best = np.where(in_ci & (tp <= tmax_init) & (tp >= tmin),
+                                    np.minimum(best, tp), best)
+
+    global cluster_of_hit_g
+    cluster_of_hit_g = cluster_of_hit
+    one_pass(origins, dirs, t_hit, 0.01, r_near)
+    near_hit = np.isfinite(t_hit) & (t_hit <= r_near)
+    far = ~near_hit
+    # Pass 2: re-sorted dense packets of the pass-1 misses.
+    o2, d2, t2 = origins[far], dirs[far], t_hit[far]
+    cluster_of_hit_g = cluster_of_hit[far]
+    one_pass(o2, d2, t2, r_near, np.inf)
+    return total_visits / max(1, (n + rpt - 1) // rpt), float(far.mean())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="suitcase",
@@ -118,6 +161,9 @@ def main():
     ap.add_argument("--cluster-size", type=int, default=128,
                     help="rebuild the accel at this cluster size (host sim "
                     "of finer culling; MT tests/lane = visits * K)")
+    ap.add_argument("--two-phase", type=float, default=0.0,
+                    help="also simulate two-phase traversal with "
+                    "r_near = this fraction of the scene diagonal")
     ap.add_argument("--dir-bits", type=int, default=0,
                     help="extra direction bits per axis BELOW the octant "
                     "bits in the sort key (0 = shipped key)")
@@ -249,12 +295,23 @@ def main():
             )
             hier = (f"  | hier: scalar {sh[:, 0].mean():6.1f} "
                     f"MT {sh[:, 1].mean():6.2f} (flat scalar {aabbs.shape[0]})")
+        two = ""
+        if args.two_phase > 0:
+            diag = float(np.linalg.norm(
+                np.asarray(acc.scene_hi) - np.asarray(acc.scene_lo)
+            ))
+            v2, far_frac = traverse_two_phase(
+                on, dn, th, aabbs, order, args.rays_per_tile,
+                args.two_phase * diag,
+            )
+            two = (f"  | 2phase(r={args.two_phase:g}d): {v2:6.2f} "
+                   f"({100*far_frac:.0f}% far)")
         print(
             f"{label:10s} clusters={aabbs.shape[0]:4d} K={K:3d} "
             f"hit-lanes={hitfrac:.2f}  "
             f"MT visits/packet: unseeded {v0.mean():6.2f}  "
             f"ideal-seed {v1.mean():6.2f}  (-{100*(1-v1.mean()/max(v0.mean(),1e-9)):.0f}%)  "
-            f"MT tests/lane: {v0.mean()*K:7.0f}{hier}"
+            f"MT tests/lane: {v0.mean()*K:7.0f}{hier}{two}"
         )
         return hit
 
