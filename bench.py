@@ -34,6 +34,7 @@ def main() -> int:
     )
     ap.add_argument("--accel", default="auto", choices=["auto", "brute", "cluster"])
     ap.add_argument("--tiles", type=int, default=0, help="pixel tiles per frame (0=auto)")
+    ap.add_argument("--lanes", type=int, default=0, help="streaming lane-pool size (0 = config default)")
     ap.add_argument("--nee", action="store_true", help="env importance sampling (config-3 'GGX + env importance sampling' fidelity)")
     ap.add_argument("--pixel-order", default="auto", choices=["auto", "scanline", "tiled"])
     ap.add_argument(
@@ -156,6 +157,7 @@ def main() -> int:
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
         pixel_order=args.pixel_order,
+        **({"stream_lanes": args.lanes} if args.lanes else {}),
     )
     if args.accel not in ("brute", "auto") and scene.accel is None:
         scene = build_accel(scene, kind=args.accel)
