@@ -196,15 +196,20 @@ def atrous_denoise(
     z = depth / depth_scale
 
     if firefly_clamp > 0:
+        # Neighbourhood mean over HIT pixels only: at silhouettes the
+        # raw 8-neighbour mean would blend (un-demodulated) environment
+        # radiance into the replacement value.
         nsum = jnp.zeros_like(img)
+        ncnt = jnp.zeros(img.shape[:2], img.dtype)
         for ky in (-1, 0, 1):
             for kx in (-1, 0, 1):
                 if ky or kx:
-                    nsum = nsum + _shift2d(img, ky, kx)
-        nmean = nsum / 8.0
-        spike = jnp.max(img, axis=-1) > firefly_clamp * (
+                    nsum = nsum + _shift2d(img * hitm[..., None], ky, kx)
+                    ncnt = ncnt + _shift2d(hitm, ky, kx)
+        nmean = nsum / jnp.maximum(ncnt, 1.0)[..., None]
+        spike = (jnp.max(img, axis=-1) > firefly_clamp * (
             jnp.max(nmean, axis=-1) + 1e-3
-        )
+        )) & (ncnt > 0)
         img = jnp.where(
             (spike & aov["hit"])[..., None], nmean, img
         )
