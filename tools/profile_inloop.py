@@ -145,6 +145,8 @@ def main():
 
     measure("intersect kernel", intersect_only(cfgK))
     measure("intersect nosort", intersect_only(cfgK.replace(sort_rays="off")))
+    measure("intersect db1", intersect_only(cfgK.replace(sort_dir_bits=1)))
+    measure("intersect db2", intersect_only(cfgK.replace(sort_dir_bits=2)))
     measure("intersect brute", intersect_only(cfgB))
 
     # ---- + attribute lookups -------------------------------------------
