@@ -244,9 +244,12 @@ def pack_rgba8(img: np.ndarray) -> np.ndarray:
 
     8-bit quantisation is lossless for u8-sourced textures (the
     reference's /255 conversion, cpp:366-380)."""
-    u8 = np.clip(np.round(np.asarray(img, np.float64) * 255.0), 0, 255).astype(
-        np.uint32
-    )
+    # float32 end-to-end: exact for u8-sourced textures (u8/255*255
+    # round-trips exactly in f32), and 2x cheaper than the former f64
+    # pass on the 16.8M-texel hero maps.
+    u8 = np.clip(
+        np.round(np.asarray(img, np.float32) * np.float32(255.0)), 0, 255
+    ).astype(np.uint32)
     return (
         u8[..., 0]
         | (u8[..., 1] << 8)
@@ -316,8 +319,11 @@ def _box_downsample_u8(img: np.ndarray, level: int) -> np.ndarray:
         return img
     h, w, c = img.shape
     f = 1 << level
-    blocks = img.reshape(h // f, f, w // f, f, c).astype(np.float64)
-    mean = blocks.mean(axis=(1, 3))
+    # u32 block sums are exact (max 255 * 2^(2L) well below 2^32); only
+    # the final division needs float.  Exact round-half-up like before.
+    blocks = img.reshape(h // f, f, w // f, f, c).astype(np.uint32)
+    ssum = blocks.sum(axis=(1, 3), dtype=np.uint32)
+    mean = ssum.astype(np.float64) / (f * f)
     return np.clip(np.round(mean), 0, 255).astype(np.uint8)
 
 
