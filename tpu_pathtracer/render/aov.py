@@ -163,7 +163,7 @@ def atrous_denoise(
     radiance: jnp.ndarray,   # [H,W,3] linear
     aov: dict,               # render_aov output (normal/depth/albedo/hit)
     iterations: int = 4,
-    sigma_color: float = 1.0,
+    sigma_color: float = 4.0,
     sigma_normal: float = 0.25,
     sigma_depth: float = 0.02,
     firefly_clamp: float = 4.0,
@@ -171,9 +171,12 @@ def atrous_denoise(
     """Edge-avoiding A-Trous wavelet denoise of linear radiance.
 
     Each iteration convolves with a 5x5 B3-spline kernel dilated by 2^i,
-    with per-tap bilateral weights from the G-buffer:
-      w = kernel * exp(-|c_p-c_q|^2 / sc) * max(0, n_p.n_q)^(1/sn)
-                 * exp(-|z_p-z_q|^2 / (sz * depth_scale)^2)
+    with per-tap bilateral weights from the G-buffer (SVGF-style
+    variance-adaptive luminance weight; sigma_color is in units of the
+    local 3x3 luminance std):
+      w = kernel * exp(-|l_p-l_q| / (sc * std3x3(l)_p + eps))
+                 * max(0, n_p.n_q)^(1/sn)
+                 * exp(-|z_p-z_q|^2 / sz^2)        [z normalised]
     Hit/miss boundaries never mix (hard mask), so the environment stays
     untouched.  Demodulating by albedo before filtering and remodulating
     after preserves texture detail (the standard SVGF trick).
@@ -214,8 +217,27 @@ def atrous_denoise(
             (spike & aov["hit"])[..., None], nmean, img
         )
 
+    lum_w = jnp.array([0.2126, 0.7152, 0.0722], img.dtype)
+
     for i in range(iterations):
         step = 1 << i
+        # SVGF-style variance-adaptive luminance weight: the reference-RR
+        # estimator's terminal /p division makes WHOLE REGIONS spiky (not
+        # isolated outliers), and a fixed color sigma reads that noise as
+        # edges.  Estimate per-pixel luminance std from the current 3x3
+        # neighbourhood each iteration; noisy regions then smooth
+        # aggressively while converged regions keep their true edges.
+        lum = img @ lum_w
+        mu = jnp.zeros_like(lum)
+        mu2 = jnp.zeros_like(lum)
+        for ky in (-1, 0, 1):
+            for kx in (-1, 0, 1):
+                lq = _shift2d(lum, ky, kx)
+                mu = mu + lq
+                mu2 = mu2 + lq * lq
+        mu = mu / 9.0
+        sdev = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0))
+
         acc = jnp.zeros_like(img)
         wsum = jnp.zeros(img.shape[:2], img.dtype)
         for ky in range(-2, 3):
@@ -226,8 +248,9 @@ def atrous_denoise(
                 nq = _shift2d(normal, dy, dx)
                 zq = _shift2d(z, dy, dx)
                 hq = _shift2d(hitm, dy, dx)
+                lq = _shift2d(lum, dy, dx)
                 wc = jnp.exp(
-                    -jnp.sum((img - cq) ** 2, axis=-1) / sigma_color
+                    -jnp.abs(lum - lq) / (sigma_color * sdev + 1e-3)
                 )
                 wn = jnp.maximum(jnp.sum(normal * nq, axis=-1), 0.0) ** (
                     1.0 / sigma_normal
