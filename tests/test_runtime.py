@@ -121,6 +121,27 @@ def test_cli_offline_render(scene, tmp_path):
     assert img.max() > 0
 
 
+def test_cli_denoise_and_aov_outputs(scene, tmp_path):
+    from PIL import Image
+
+    from tpu_pathtracer.cli import main
+
+    out = str(tmp_path / "out.png")
+    prefix = str(tmp_path / "g")
+    rc = main(
+        [
+            "--file", out, "--dim=32x16", "-s", "1", "--spp", "1",
+            "--max-depth", "2", "--no-dof", "--env", "constant",
+            "--denoise", "--aov-prefix", prefix,
+        ]
+    )
+    assert rc == 0
+    assert np.asarray(Image.open(out)).max() > 0
+    for kind in ("normal", "depth", "albedo"):
+        img = np.asarray(Image.open(f"{prefix}_{kind}.png"))
+        assert img.shape == (16, 32, 3), kind
+
+
 def test_cli_dim_validation():
     from tpu_pathtracer.cli import main
 
