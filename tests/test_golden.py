@@ -71,10 +71,28 @@ def config_monkey():
     return scene, Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0)), cfg
 
 
+def config_spheres_nee():
+    """The beyond-reference flagship path: alias-table env importance
+    sampling (NEE) with the textbook RR estimator."""
+    from tpu_pathtracer.render.envmap import with_importance_sampling
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    env = with_importance_sampling(make_env(procedural_hdr(32, 64)))
+    scene = three_spheres_scene(stacks=8, slices=16).replace(env=env)
+    cfg = RenderConfig(
+        width=64, height=48, samples_per_launch=2, max_depth=4,
+        dof=False, env_mode="equirect", intersector="brute",
+        env_importance_sampling=True, rr_mode="standard",
+    )
+    return scene, Camera(eye=(0, 2, 8)), cfg
+
+
 CONFIGS = {
     "sphere_constant": config1_sphere,
     "spheres_sunsky_dof": config_spheres_sunsky,
     "monkey_textured": config_monkey,
+    "spheres_nee": config_spheres_nee,
 }
 
 
