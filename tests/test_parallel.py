@@ -59,6 +59,25 @@ def test_sample_sharding_allclose(scene):
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-5)
 
 
+def test_pixel_sharding_with_nee_bitwise(scene):
+    """Flagship estimator x flagship parallelism: env importance sampling
+    under pixel sharding stays bitwise-identical to single-device."""
+    from tpu_pathtracer.render.envmap import with_importance_sampling
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    env = with_importance_sampling(make_env(procedural_hdr(16, 32)))
+    sc = scene.replace(env=env)
+    cfg = cfg_(env_mode="equirect", env_importance_sampling=True,
+               rr_mode="standard")
+    cam = camera_arrays(Camera(), cfg)
+    single = np.asarray(render_frame(sc, cam, cfg, jnp.int32(0)))
+    sharded = np.asarray(
+        render_frame_sharded(sc, cam, cfg, jnp.int32(0), make_mesh(), mode="pixels")
+    )
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_device_count_invariance(scene):
     # 2-device and 4-device pixel sharding agree bitwise.
     cfg = cfg_()
