@@ -18,6 +18,64 @@ import os
 import sys
 import time
 
+_LAST_BENCH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts", "last_bench.json"
+)
+
+
+def _backend_probe(timeout_s: int = 240) -> bool:
+    """True iff ``jax.devices()`` answers in a fresh subprocess.
+
+    The axon TPU tunnel can be down for hours (round 3 lost its whole
+    BENCH artifact to this); probing in a subprocess keeps this process's
+    jax backend cache clean so a later retry can still succeed.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_last_known(reason: str) -> int:
+    """Structured fallback: the last measured result, clearly marked stale.
+
+    An outage at capture time must not produce an empty round artifact
+    (round 3's 13.9 Mrays/s existed only in prose because of this).
+    """
+    out = {"error": reason}
+    try:
+        with open(_LAST_BENCH) as f:
+            last = json.load(f)
+        out.update(
+            {
+                "metric": f"{last.get('metric', '')} [STALE: {reason}]",
+                "value": last.get("value"),
+                "unit": last.get("unit", "Mrays/s"),
+                "vs_baseline": last.get("vs_baseline"),
+                "last_known": last,
+            }
+        )
+    except Exception:  # noqa: BLE001 — no cache: emit the error alone
+        pass
+    print(json.dumps(out))
+    return 0
+
+
+def _save_last(result: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_LAST_BENCH), exist_ok=True)
+        with open(_LAST_BENCH, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -42,8 +100,45 @@ def main() -> int:
         help="BASELINE.json benchmark config preset (1-5); 0 = headline "
         "(suitcase @ given dims/depth)",
     )
+    ap.add_argument(
+        "--probe-minutes", type=float, default=20.0,
+        help="bounded backend-availability probe before the timed run; "
+        "on exhaustion emit the last measured result marked stale "
+        "instead of a traceback (0 disables)",
+    )
     args = ap.parse_args()
 
+    # Outage resilience: the axon tunnel drops for hours at a time.  Probe
+    # (bounded) before committing to the heavy imports/compiles; fall back
+    # to the persisted last-known result if the backend never comes up.
+    # Always probe: a healthy (or CPU) backend answers in seconds, and the
+    # JAX_PLATFORMS env var is not reliable in this container (sitecustomize
+    # pre-binds the axon plugin), so env-based gating would skip the probe
+    # exactly when it is needed.
+    if args.probe_minutes > 0:
+        deadline = time.time() + args.probe_minutes * 60
+        ok = _backend_probe(min(240, max(10, deadline - time.time())))
+        while not ok and time.time() < deadline:
+            time.sleep(min(60, max(1, deadline - time.time())))
+            rem = deadline - time.time()
+            if rem <= 0:
+                break
+            ok = _backend_probe(min(240, max(10, rem)))
+        if not ok:
+            return _emit_last_known(
+                f"backend unavailable after {args.probe_minutes:g} min probe"
+            )
+
+    try:
+        return _run(args)
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "unavailable" in msg or "backend" in msg:
+            return _emit_last_known(f"backend failed mid-run: {str(e)[:200]}")
+        raise
+
+
+def _run(args) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -224,6 +319,10 @@ def main() -> int:
         },
     }
     print(json.dumps(result))
+    # Persist for the outage fallback — only real-hardware numbers are
+    # worth replaying as "last known", and only the headline config.
+    if jax.devices()[0].platform != "cpu" and args.config in (0, 3) and not args.nee:
+        _save_last(result)
     return 0
 
 
