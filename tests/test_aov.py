@@ -149,6 +149,90 @@ def test_denoise_improves_ssim_vs_converged(scene, cfg, aov):
     assert s_den > s_noisy + 0.05, (s_noisy, s_den)
 
 
+def test_defocus_mask(aov, cfg):
+    """DOF guidance relaxation (round-3 advisor): mask is None with DOF
+    off, zero at the focal plane / on miss pixels, grows with |t-f|, and
+    a masked denoise stays finite and keeps flat fields flat."""
+    from tpu_pathtracer.render.aov import defocus_mask
+
+    assert defocus_mask(aov, cfg) is None          # cfg.dof=False
+    cfg_dof = cfg.replace(dof=True, focus_distance=5.0, dof_blurriness=0.01)
+    m = np.asarray(defocus_mask(aov, cfg_dof))
+    hit = np.asarray(aov["hit"])
+    d = np.asarray(aov["depth"])
+    assert m.shape == d.shape
+    assert (m >= 0).all() and (m <= 1).all()
+    assert (m[~hit] == 0).all()
+    near_focus = hit & (np.abs(d - 5.0) < 0.05)
+    far_focus = hit & (np.abs(d - 5.0) > 2.0)
+    if near_focus.any() and far_focus.any():
+        assert m[near_focus].mean() < m[far_focus].mean()
+    # Fixed point under the mask: a flat DEMODULATED field (radiance =
+    # albedo * const, i.e. uniform irradiance — the SVGF invariant).  A
+    # flat *radiance* field over varying albedo is not preserved once
+    # guidance relaxes, by design: it encodes irradiance anti-correlated
+    # with albedo, which only the sharp geometry weights were hiding.
+    alb_safe = np.maximum(np.asarray(aov["albedo"]), 0.02)
+    img = np.where(hit[..., None], 0.7 * alb_safe, 0.4).astype(np.float32)
+    out = np.asarray(
+        atrous_denoise(jnp.asarray(img), aov, defocus=jnp.asarray(m),
+                       iterations=2)
+    )
+    np.testing.assert_allclose(out, img, rtol=2e-4, atol=1e-5)
+
+
+def test_denoise_improves_ssim_monkey_textured():
+    """Second-scene value gate (round-3 VERDICT #7): the denoiser must
+    also win on a HOSTILE scene — the textured monkey (1024^2 albedo
+    map, curved geometry), where A-Trous over-blur is most visible.
+    Same bar as the three-spheres gate: denoised 1-spp closer (SSIM on
+    the displayed image) to a converged render than raw 1-spp."""
+    import os
+
+    REF = "/root/reference"
+    if not os.path.exists(f"{REF}/monkey.obj"):
+        pytest.skip("reference assets unavailable")
+    from tpu_pathtracer.accel.build import build_accel
+    from tpu_pathtracer.render.film import post_process, to_uint8
+    from tpu_pathtracer.render.integrator import render_frame
+    from tpu_pathtracer.scene.builder import load_scene
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+    from tpu_pathtracer.utils.ssim import ssim
+
+    env = make_env(procedural_hdr(32, 64))
+    scene = build_accel(
+        load_scene([f"{REF}/monkey.obj"], env=env, rng_seed=0),
+        kind="cluster",
+    )
+    cfg1 = RenderConfig(
+        width=96, height=64, samples_per_launch=1, max_depth=4,
+        dof=False, env_mode="equirect", intersector="cluster",
+        texture_lod="off",
+    )
+    cam = camera_arrays(
+        Camera(eye=(0, 1, 4), lookat=(0, 0.6, 0)).with_aspect(
+            cfg1.width, cfg1.height
+        ),
+        cfg1,
+    )
+    frames = [
+        np.asarray(render_frame(scene, cam, cfg1, jnp.int32(k)))
+        for k in range(32)
+    ]
+    clean = np.mean(frames, axis=0)
+    noisy = jnp.asarray(frames[0])
+    maov = render_aov(scene, cam, cfg1)
+    den = atrous_denoise(noisy, maov, sigma_color=4.0)
+
+    def shown(x):
+        return np.asarray(to_uint8(post_process(jnp.asarray(x), cfg1))) / 255.0
+
+    s_noisy = ssim(shown(noisy), shown(clean))
+    s_den = ssim(shown(den), shown(clean))
+    assert s_den > s_noisy + 0.05, (s_noisy, s_den)
+
+
 def test_denoise_respects_hit_miss_boundary(aov):
     """Environment pixels never bleed into surface pixels."""
     h, w = aov["depth"].shape

@@ -63,6 +63,9 @@ def test_denoise_display_path(scene):
     img_den = den.image_u8()
     assert img_den.shape == img_raw.shape
     assert np.isfinite(den.image_hdr()).all()
+    # EXR/HDR output stays RAW even with denoise on (external denoisers
+    # need the unfiltered accumulation; docs/usage.md promises this).
+    np.testing.assert_array_equal(den.image_hdr(), np.asarray(den.accum)[::-1])
     # The filter actually does something on a noisy 2-spp sphere frame.
     assert not np.array_equal(img_raw, img_den)
     assert den._aov is not None

@@ -336,7 +336,9 @@ def main(argv=None) -> int:
 
     outfile = args.file or "out.png"
     if outfile.lower().endswith(".exr"):
-        # EXR gets the raw linear HDR accumulation, not the tonemapped u8.
+        # EXR gets the raw linear HDR accumulation — never tonemapped and
+        # never pre-denoised (external denoisers need unfiltered input;
+        # --denoise affects the display/PNG path only).
         save_image(outfile, renderer.image_hdr())
     else:
         save_image(outfile, renderer.image_u8())

@@ -41,7 +41,7 @@ _BIG_PRIM = np.int32(0x7FFFFFFF)
 
 
 def _vmem_params(scene_bytes: int, rays_per_tile: int, cluster_k: int,
-                 headroom: float = 1.0):
+                 headroom: float = 1.0, extra_bytes: int = 0):
     """CompilerParams with an explicit scoped-VMEM budget when the kernel
     won't fit the 16 MB default.
 
@@ -59,9 +59,16 @@ def _vmem_params(scene_bytes: int, rays_per_tile: int, cluster_k: int,
     Mosaic version's measured compiles, and cli.py / bench.py retry a
     failed compile once at headroom 2.0 so a future toolchain that
     stages differently degrades to a slow-but-working render instead of
-    an abort (VERDICT r2 weak #5)."""
+    an abort (VERDICT r2 weak #5).
+
+    `extra_bytes` is for per-lane ray/scratch buffers that live in VMEM
+    exactly once — they must NOT ride the 8x staging multiplier, which
+    models layout copies of the streamed [C,K,16] scene operand only
+    (a 131k-lane pool's 16*n_pad ray bytes would otherwise inflate the
+    budget by ~16 MB and force the oversized-budget slow path)."""
     need = int(
-        (8 * scene_bytes + 40 * cluster_k * rays_per_tile * 4 + (2 << 20))
+        (8 * scene_bytes + extra_bytes
+         + 40 * cluster_k * rays_per_tile * 4 + (2 << 20))
         * headroom
     )
     if need <= 14 * 1024 * 1024:
@@ -1117,7 +1124,9 @@ def intersect_clusters_pallas_streamed(
             pltpu.VMEM((tiles, r), jnp.float32),
             pltpu.VMEM((tiles, r), jnp.float32),
         ],
-        compiler_params=_vmem_params(cb * k * 16 * 4 + 16 * n_pad, r, k, vmem_headroom),
+        compiler_params=_vmem_params(
+            cb * k * 16 * 4, r, k, vmem_headroom, extra_bytes=16 * n_pad
+        ),
         interpret=interpret,
     )(supers, aabbs, rays, tris16)
     t_flat = best_t.reshape(n_pad)[:n]
@@ -1324,7 +1333,9 @@ def occluded_clusters_pallas_streamed(
         ],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((tiles, r), jnp.int32)],
-        compiler_params=_vmem_params(cb * k * 16 * 4 + 4 * n_pad, r, k, vmem_headroom),
+        compiler_params=_vmem_params(
+            cb * k * 16 * 4, r, k, vmem_headroom, extra_bytes=4 * n_pad
+        ),
         interpret=interpret,
     )(supers, aabbs, rays, tris16)[0]
     return occ.reshape(n_pad)[:n] > 0

@@ -135,6 +135,32 @@ def render_aov(scene: Scene, cam: dict, cfg: RenderConfig):
     }
 
 
+def defocus_mask(aov: dict, cfg: RenderConfig):
+    """[H,W] defocus weight in [0,1] from the thin-lens circle of
+    confusion, or None when DOF is off.
+
+    The G-buffer is rendered PINHOLE (sharp), but with cfg.dof the
+    accumulated radiance is defocus-blurred: in out-of-focus regions the
+    sharp AOV normal/depth edges don't align with the blurred radiance,
+    so bilateral guidance there preserves bokeh noise and halos around
+    silhouettes (round-3 advisor finding).  This mask relaxes the
+    geometry guidance where the CoC is large: 0 = in focus (full
+    guidance), 1 = CoC spans several pixels (pure spatial smoothing +
+    color weight).  CoC angular radius ~ A*|t-f|/t (thin lens,
+    cu:279-294 parameters); the height factor converts to an approximate
+    pixel count and saturates around a handful of pixels."""
+    if not cfg.dof or cfg.dof_blurriness <= 0.0:
+        return None
+    t = aov["depth"]
+    coc_px = (
+        cfg.dof_blurriness
+        * jnp.abs(t - cfg.focus_distance)
+        / jnp.maximum(t, 1e-6)
+        * (cfg.height / 4.0)
+    )
+    return jnp.where(aov["hit"], jnp.clip(coc_px, 0.0, 1.0), 0.0)
+
+
 def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Edge-clamped spatial shift of [H,W,...] by (dy, dx)."""
     h, w = x.shape[0], x.shape[1]
@@ -162,6 +188,7 @@ _B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 def atrous_denoise(
     radiance: jnp.ndarray,   # [H,W,3] linear
     aov: dict,               # render_aov output (normal/depth/albedo/hit)
+    defocus=None,            # [H,W] in [0,1] (defocus_mask) or None
     iterations: int = 4,
     sigma_color: float = 4.0,
     sigma_normal: float = 0.25,
@@ -256,9 +283,17 @@ def atrous_denoise(
                     1.0 / sigma_normal
                 )
                 wz = jnp.exp(-((z - zq) ** 2) / (sigma_depth**2))
+                g = wn * wz
+                if defocus is not None:
+                    # Defocused regions: the pinhole G-buffer's sharp
+                    # edges don't align with the blurred radiance — fade
+                    # geometry guidance toward pure spatial smoothing
+                    # (color weight still applies; it follows the blurred
+                    # signal itself).  See defocus_mask.
+                    g = g + defocus * (1.0 - g)
                 # Hit pixels only average hit pixels (and vice versa).
                 same = 1.0 - jnp.abs(hitm - hq)
-                w = k * wc * wn * wz * same
+                w = k * wc * g * same
                 acc = acc + w[..., None] * cq
                 wsum = wsum + w
         img = acc / jnp.maximum(wsum, 1e-10)[..., None]

@@ -67,6 +67,7 @@ class ProgressiveRenderer:
         self._pv_auto = preview_scale == "auto"
         self._pv_scale = 4 if self._pv_auto else int(preview_scale or 0)
         self._pv_floor = 1          # finest scale auto may try
+        self._pv_good = 0           # consecutive fast frames at the floor
         self._pv_times: dict[int, list] = {}
         self._preview_img: Optional[jnp.ndarray] = None
 
@@ -91,20 +92,34 @@ class ProgressiveRenderer:
 
     def _pv_update(self, dt: float) -> None:
         """Auto-preview controller: step finer while comfortably under
-        budget, back off (and blacklist) a scale that misses it."""
+        budget, back off (and blacklist) a scale that misses it.
+
+        The blacklist AGES: one bad 3-frame median (a host hiccup / GC
+        pause) must not ban a scale for the whole session — after 8
+        consecutive comfortably-fast frames at the floor, the next finer
+        scale gets one fresh re-probe."""
         ts = self._pv_times.setdefault(self._pv_scale, [])
         ts.append(dt)
+        del ts[:-8]                  # bounded per-scale history
         if len(ts) < 3:              # first sample includes the compile
             return
         med = sorted(ts[-3:])[1]
         if med > 1.25 * self.preview_budget_s and self._pv_scale < 16:
             self._pv_floor = max(self._pv_floor, self._pv_scale * 2)
             self._pv_scale *= 2
-        elif (
-            med < 0.5 * self.preview_budget_s
-            and self._pv_scale > self._pv_floor
-        ):
-            self._pv_scale //= 2
+            self._pv_good = 0
+        elif med < 0.5 * self.preview_budget_s:
+            if self._pv_scale > self._pv_floor:
+                self._pv_scale //= 2
+            elif self._pv_floor > 1:
+                self._pv_good += 1
+                if self._pv_good >= 8:
+                    self._pv_good = 0
+                    self._pv_floor //= 2
+                    self._pv_scale = self._pv_floor
+                    # fresh samples: the re-probe's first (compile) frame
+                    # must not re-condemn the scale
+                    self._pv_times.pop(self._pv_scale, None)
 
     # -- camera interaction (reference cpp:238-278) ----------------------
     def set_camera(self, camera: Camera) -> None:
@@ -136,11 +151,14 @@ class ProgressiveRenderer:
             # 1-spp preview frames benefit most: one cheap G-buffer pass
             # at preview resolution (center rays, single intersect) turns
             # speckle into a stable image while the camera moves.
-            from tpu_pathtracer.render.aov import atrous_denoise, render_aov
+            from tpu_pathtracer.render.aov import (
+                atrous_denoise, defocus_mask, render_aov,
+            )
 
+            paov = render_aov(self.scene, pcam, pcfg)
             frame = atrous_denoise(
-                frame, render_aov(self.scene, pcam, pcfg), iterations=3,
-                sigma_color=4.0,
+                frame, paov, defocus=defocus_mask(paov, pcfg),
+                iterations=3, sigma_color=4.0,
             )
         frame.block_until_ready()
         self._preview_img = frame
@@ -227,14 +245,21 @@ class ProgressiveRenderer:
             from tpu_pathtracer.render.aov import render_aov
 
             self._aov = render_aov(self.scene, self._cam_arrays, self.cfg)
-        from tpu_pathtracer.render.aov import atrous_denoise
+        from tpu_pathtracer.render.aov import atrous_denoise, defocus_mask
 
-        return atrous_denoise(self.accum, self._aov)
+        return atrous_denoise(
+            self.accum, self._aov,
+            defocus=defocus_mask(self._aov, self.cfg),
+        )
 
     def image_hdr(self) -> np.ndarray:
-        """Linear HDR image (row 0 = top) for EXR output; denoised when
-        enabled (the raw accumulation stays in checkpoints)."""
-        return np.asarray(self._linear_image())[::-1]
+        """Raw linear HDR accumulation (row 0 = top) for EXR output.
+
+        Deliberately NOT denoised even when `denoise` is on: EXR is the
+        interchange format for external denoisers/compositors, which need
+        the unfiltered accumulation (denoise stays display/PNG-only, like
+        checkpoints stay raw)."""
+        return np.asarray(self.accum)[::-1]
 
     def stats(self) -> dict:
         times = self.frame_times[1:] or self.frame_times  # drop compile

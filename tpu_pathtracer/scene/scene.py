@@ -246,9 +246,15 @@ def pack_rgba8(img: np.ndarray) -> np.ndarray:
     reference's /255 conversion, cpp:366-380)."""
     # float32 end-to-end: exact for u8-sourced textures (u8/255*255
     # round-trips exactly in f32), and 2x cheaper than the former f64
-    # pass on the 16.8M-texel hero maps.
+    # pass on the 16.8M-texel hero maps.  Float-sourced images arrive as
+    # f64 (e.g. user-synthesised maps): keep those on the f64 quantiser —
+    # a product near a .5 tie can round differently in f32, silently
+    # shifting texels by 1/255.  All in-tree loaders emit f32
+    # (utils/image.py), so the fast path covers every real asset.
+    img = np.asarray(img)
+    work = np.float64 if img.dtype == np.float64 else np.float32
     u8 = np.clip(
-        np.round(np.asarray(img, np.float32) * np.float32(255.0)), 0, 255
+        np.round(img.astype(work, copy=False) * work(255.0)), 0, 255
     ).astype(np.uint32)
     return (
         u8[..., 0]
