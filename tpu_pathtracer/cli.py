@@ -60,6 +60,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8000, help="viewer port")
     p.add_argument("--preview-budget-ms", type=float, default=125.0, help="interaction preview frame budget; the viewer auto-picks the finest preview resolution that fits it")
     p.add_argument("--seed", type=int, default=0, help="seed for random (untextured) materials")
+    p.add_argument("--scene-cache", action=argparse.BooleanOptionalAction, default=True, help="packed-scene cache under ~/.cache/tpu_pathtracer/scenes (warm loads skip decode+packing)")
+    p.add_argument("--refresh-scene-cache", action="store_true", help="rebuild the packed-scene cache entry even if fresh")
     p.add_argument("--debug-nans", action="store_true", help="abort on NaN/Inf in any kernel (jax_debug_nans; SURVEY §5 sanitizer analog)")
     p.add_argument("--verbosity", type=int, default=4)
     return p
@@ -180,9 +182,13 @@ def build_from_args(args):
     )
 
     if args.scene:
-        from tpu_pathtracer.scene.builder import load_scene
+        # Packed-scene cache: warm loads are one sequential npz read +
+        # upload instead of PNG decode + quad/bundle packing
+        # (scene/cache.py; --no-scene-cache or TPU_PT_SCENE_CACHE=0
+        # bypasses, --refresh-scene-cache forces a rebuild).
+        from tpu_pathtracer.scene.cache import load_scene_cached
 
-        scene = load_scene(
+        scene = load_scene_cached(
             args.scene,
             scale=args.scale,
             env=env,
@@ -190,6 +196,8 @@ def build_from_args(args):
             rng_seed=args.seed,
             accel=("cluster" if args.accel == "auto" else args.accel)
             if args.accel != "brute" else None,
+            cache_dir="" if not args.scene_cache else None,
+            refresh=args.refresh_scene_cache,
         )
         plog.info(
             "scene",

@@ -132,7 +132,9 @@ def load_scene_file(
     accel = scene_spec.get("accel", "cluster")
     accel = None if accel in ("none", "brute", "") else accel
     if objects:
-        from tpu_pathtracer.scene.builder import load_scene
+        # Packed-scene cache: warm loads skip PNG decode + quad/bundle
+        # packing (scene/cache.py; TPU_PT_SCENE_CACHE=0 bypasses).
+        from tpu_pathtracer.scene.cache import load_scene_cached as load_scene
 
         scene = load_scene(
             [os.path.join(base_dir, o) for o in objects],
