@@ -31,6 +31,12 @@ run tools/exp_hero.py --scene monkey --hier-min 96 --dir-bits 2
 run tools/exp_hero.py --scene monkey --cluster-size 64 --dir-bits 2
 # 98k field: sim says primary -49% / bounce +22% -> per-scene polarity.
 run tools/exp_hero.py --scene highpoly --dir-bits 2
+# 98k field at cs32+hier (VERDICT r3 #4): prove or break the 120 ns/ray
+# packet floor — sim said cs32 cuts MT tests/lane 54% if the two-level
+# kernel absorbs the scalar loop.
+run tools/exp_hero.py --scene highpoly --cluster-size 32 --hier-min 64
+run tools/exp_hero.py --scene highpoly --cluster-size 32 --hier-min 64 --dir-bits 2
+run tools/exp_hero.py --scene highpoly --cluster-size 64 --hier-min 64
 # packed-state streaming schedule: 2 loop-carried per-lane buffers
 # instead of ~16 (the ~2 ms/iter while-body fixed cost attributed to
 # fusion-output count).
@@ -40,4 +46,8 @@ run tools/probe_packed_state.py
 run bench.py --config 1 --frames 4
 run bench.py --config 1 --spp 8 --frames 8
 run bench.py --config 1 --frames 4 --lanes 262144
+# VERDICT r3 #9: sharded-path overhead on a 1-device mesh (pod-math term).
+run tools/exp_shard_overhead.py --frames 4
+# VERDICT r3 #6: NEE equal-time quality with MEASURED cost ratio on the hero.
+run tools/exp_nee_quality.py --scene suitcase --size 480x270 --frames 24 --timed
 echo "SWEEP DONE $(date)" | tee -a "$LOG"
