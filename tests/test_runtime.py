@@ -352,3 +352,66 @@ def test_adaptive_preview(scene):
 
     r2 = ProgressiveRenderer(scene, Camera(), cfg_(), preview_scale=0)
     assert not r2.step_preview()      # disabled
+
+
+def test_converge_ramp_weighted_mean(scene):
+    """step_converge renders a 1/2/4-spp ramp after reset, accounting is
+    by samples, and the accumulation equals the sample-weighted mean of
+    the individual launches."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+
+    cfg = cfg_(samples_per_launch=8)
+    r = ProgressiveRenderer(scene, Camera(), cfg)
+    sizes = []
+    for _ in range(4):
+        before = r.spp
+        r.step_converge()
+        sizes.append(r.spp - before)
+    # full=8 -> ramp while accum < 4: launches 1, 1, 2, then full 8.
+    assert sizes == [1, 1, 2, 8]
+    assert r.spp == 12 and r.subframe == 4
+
+    cam = camera_arrays(Camera().with_aspect(cfg.width, cfg.height), cfg)
+    num = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    for k, s in enumerate(sizes):
+        cfg_l = cfg.replace(samples_per_launch=s)
+        num += s * np.asarray(render_frame(scene, cam, cfg_l, jnp.int32(k)))
+    np.testing.assert_allclose(
+        np.asarray(r.accum), num / sum(sizes), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_constant_spp_step_bitwise_unchanged(scene):
+    """The weighted accumulator is bitwise-identical to the subframe EWMA
+    for constant-spp histories (film.accumulate_weighted's contract), so
+    plain step() sequences — and every existing checkpoint — reproduce."""
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.render.film import accumulate
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+
+    cfg = cfg_()
+    r = ProgressiveRenderer(scene, Camera(), cfg)
+    for _ in range(3):
+        r.step()
+    cam = camera_arrays(Camera().with_aspect(cfg.width, cfg.height), cfg)
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for k in range(3):
+        acc = accumulate(acc, render_frame(scene, cam, cfg, jnp.int32(k)), k)
+    np.testing.assert_array_equal(np.asarray(r.accum), np.asarray(acc))
+
+
+def test_checkpoint_roundtrip_preserves_accum_spp(scene, tmp_path):
+    ck = str(tmp_path / "ck_ramp.npz")
+    cfg = cfg_(samples_per_launch=8)
+    a = ProgressiveRenderer(scene, Camera(), cfg)
+    a.step_converge()           # 1-spp ramp launch
+    a.step_converge()
+    assert a.spp == 2
+    a.save_checkpoint(ck)
+    b = ProgressiveRenderer(scene, Camera(), cfg)
+    b.load_checkpoint(ck)
+    assert b.spp == 2 and b.subframe == 2
+    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))

@@ -156,17 +156,30 @@ def main():
     from tpu_pathtracer.utils.ssim import ssim
     import jax.numpy as jnp
 
-    n_nee = args.spp
-    n_off = max(1, int(round(args.spp * cost)))
-
     def shown(x):
         return np.asarray(to_uint8(post_process(jnp.asarray(x), cfg))) / 255.0
 
-    img_off = shown(f_off[:n_off].mean(axis=0))
-    img_nee = shown(f_nee[:n_nee].mean(axis=0))
     img_ref = shown(target)
-    s_off = ssim(img_off, img_ref)
-    s_nee = ssim(img_nee, img_ref)
+
+    # Displayed-image check across budgets: the tonemap clamps BSDF-arm
+    # fireflies (rare bright env hits), so the linear-variance verdict and
+    # the small-budget display verdict can disagree — sweep to see where
+    # they cross.
+    ssim_table = {}
+    budgets = sorted({args.spp, 1, 2, 4, 8, 16})
+    for b in budgets:
+        n_off_b = max(1, int(round(b * cost)))
+        if b > len(f_nee) or n_off_b > len(f_off):
+            continue
+        s_o = ssim(shown(f_off[:n_off_b].mean(axis=0)), img_ref)
+        s_n = ssim(shown(f_nee[:b].mean(axis=0)), img_ref)
+        ssim_table[f"nee@{b}spp_vs_bsdf@{n_off_b}spp"] = [
+            round(float(s_n), 5), round(float(s_o), 5)
+        ]
+    n_nee = args.spp
+    n_off = max(1, int(round(args.spp * cost)))
+    s_off = ssim(shown(f_off[:n_off].mean(axis=0)), img_ref)
+    s_nee = ssim(shown(f_nee[:n_nee].mean(axis=0)), img_ref)
 
     print(json.dumps({
         "scene": args.scene, "size": args.size, "frames": args.frames,
@@ -181,6 +194,7 @@ def main():
             f"bsdf@{n_off}spp": round(float(s_off), 5),
             f"nee@{n_nee}spp": round(float(s_nee), 5),
         },
+        "equal_time_ssim_sweep": ssim_table,
     }))
 
 

@@ -35,6 +35,28 @@ def accumulate(prev_accum: jnp.ndarray, new_frame: jnp.ndarray, subframe: jnp.nd
     return jnp.where(subframe > 0, out, new_frame)
 
 
+def accumulate_weighted(
+    prev_accum: jnp.ndarray,
+    new_frame: jnp.ndarray,
+    prev_spp: jnp.ndarray,
+    new_spp: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample-count-weighted progressive accumulation.
+
+    Generalises `accumulate` to launches of UNEQUAL sample counts (the
+    viewer's converge ramp renders 1/2/4-spp launches right after a
+    camera settles before returning to the configured batch).  With a
+    constant spp per launch it is bitwise-identical to `accumulate`:
+    the exact real quotients spp/((k+1)*spp) and 1/(k+1) are equal and
+    IEEE division is correctly rounded, so the f32 lerp factors match.
+    """
+    prev_spp = jnp.asarray(prev_spp).astype(jnp.float32)
+    new_spp = jnp.asarray(new_spp).astype(jnp.float32)
+    a = new_spp / (prev_spp + new_spp)
+    out = prev_accum + (new_frame - prev_accum) * a
+    return jnp.where(prev_spp > 0, out, new_frame)
+
+
 def aces_fit_tonemap(x: jnp.ndarray) -> jnp.ndarray:
     """Rational-polynomial ACES filmic fit (Hable/Uncharted-style constants),
     exactly as at reference optixSphere.cu:266-277."""

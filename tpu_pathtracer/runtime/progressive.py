@@ -27,7 +27,11 @@ import numpy as np
 
 from tpu_pathtracer.config import RenderConfig
 from tpu_pathtracer.render.camera import Camera
-from tpu_pathtracer.render.film import accumulate, post_process, to_uint8
+from tpu_pathtracer.render.film import (
+    accumulate_weighted,
+    post_process,
+    to_uint8,
+)
 from tpu_pathtracer.render.integrator import camera_arrays, render_frame
 from tpu_pathtracer.utils import logging as plog
 
@@ -50,8 +54,13 @@ class ProgressiveRenderer:
         self.shard_mode = shard_mode
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         self.subframe = 0
+        # Samples accumulated so far.  Tracked separately from subframe
+        # because the converge ramp (step_converge) mixes launch sizes;
+        # for constant-spp histories it equals subframe*samples_per_launch.
+        self._accum_spp = 0
         self._cam_arrays = camera_arrays(self.camera, cfg)
         self.frame_times: list[float] = []
+        self._frame_paths: list[int] = []  # traced paths per step, for stats
         # Adaptive preview: while the camera is moving the viewer renders
         # at 1/preview_scale resolution and 1 spp — the TPU analog of the
         # reference's "reset accumulation and keep the loop interactive"
@@ -132,7 +141,9 @@ class ProgressiveRenderer:
     def reset(self) -> None:
         self.accum = jnp.zeros_like(self.accum)
         self.subframe = 0
+        self._accum_spp = 0
         self.frame_times.clear()
+        self._frame_paths.clear()
 
     # -- adaptive preview (camera in motion) ------------------------------
     def step_preview(self) -> bool:
@@ -167,8 +178,20 @@ class ProgressiveRenderer:
         return True
 
     # -- the per-frame step (cpp:1390-1437) -------------------------------
-    def step(self) -> jnp.ndarray:
-        """Render one launch, accumulate, advance subframe; returns accum."""
+    def step(self, spp: Optional[int] = None) -> jnp.ndarray:
+        """Render one launch, accumulate, advance subframe; returns accum.
+
+        `spp` overrides the launch's sample count (the converge ramp);
+        accumulation weights by sample count, so mixed-size launches stay
+        an unbiased mean.  Default-spp histories are bitwise-unchanged
+        (see film.accumulate_weighted).
+        """
+        launch_spp = spp or self.cfg.samples_per_launch
+        cfg_l = (
+            self.cfg
+            if launch_spp == self.cfg.samples_per_launch
+            else self.cfg.replace(samples_per_launch=launch_spp)
+        )
         t0 = time.perf_counter()
         if self.mesh is not None:
             from tpu_pathtracer.parallel.shard import render_frame_sharded
@@ -176,41 +199,64 @@ class ProgressiveRenderer:
             frame = render_frame_sharded(
                 self.scene,
                 self._cam_arrays,
-                self.cfg,
+                cfg_l,
                 jnp.int32(self.subframe),
                 self.mesh,
                 mode=self.shard_mode,
             )
         else:
             frame = render_frame(
-                self.scene, self._cam_arrays, self.cfg, jnp.int32(self.subframe)
+                self.scene, self._cam_arrays, cfg_l, jnp.int32(self.subframe)
             )
-        self.accum = accumulate(self.accum, frame, self.subframe)
+        self.accum = accumulate_weighted(
+            self.accum, frame, self._accum_spp, launch_spp
+        )
         self.accum.block_until_ready()
         dt = time.perf_counter() - t0
         self.frame_times.append(dt)
+        self._frame_paths.append(
+            self.cfg.width * self.cfg.height * launch_spp
+        )
         self.subframe += 1
+        self._accum_spp += launch_spp
         self._preview_img = None  # full-res data supersedes the preview
         return self.accum
+
+    def step_converge(self) -> jnp.ndarray:
+        """`step()`, but the first launches after a reset use a doubling
+        sample ramp (1, 1, 2, 4, ... up to half the configured batch) so
+        the display refines within roughly one 1-spp launch of the camera
+        settling, instead of after a full-batch launch (the reference
+        shows every 10-spp subframe as it lands, optixSphere.cpp:1390-1437;
+        at TPU launch times the equivalent "first pixels fast" behavior
+        needs smaller first batches).  Sharded renderers skip the ramp
+        (mode="samples" requires spp % n_devices == 0)."""
+        full = self.cfg.samples_per_launch
+        if self.mesh is not None or full <= 2:
+            return self.step()
+        if self._accum_spp < full // 2:
+            return self.step(spp=max(1, min(self._accum_spp, full // 2)))
+        return self.step()
 
     def render_spp(self, total_spp: int, log_every: int = 10) -> jnp.ndarray:
         """Progressive loop until >= total_spp samples accumulated."""
         spp_per_frame = self.cfg.samples_per_launch
         n_frames = max(1, -(-total_spp // spp_per_frame))
-        for k in range(n_frames - self.subframe):
+        target = n_frames * spp_per_frame
+        while self._accum_spp < target:
             self.step()
             if log_every and self.subframe % log_every == 0:
                 plog.info(
                     "progressive",
                     f"subframe {self.subframe}/{n_frames} "
-                    f"({self.subframe * spp_per_frame} spp, "
+                    f"({self._accum_spp} spp, "
                     f"{self.frame_times[-1]*1e3:.1f} ms/frame)",
                 )
         return self.accum
 
     @property
     def spp(self) -> int:
-        return self.subframe * self.cfg.samples_per_launch
+        return self._accum_spp
 
     def image_u8(self) -> np.ndarray:
         """Post-processed display image (row 0 = top, PNG convention).
@@ -262,16 +308,17 @@ class ProgressiveRenderer:
         return np.asarray(self.accum)[::-1]
 
     def stats(self) -> dict:
-        times = self.frame_times[1:] or self.frame_times  # drop compile
+        drop = 1 if len(self.frame_times) > 1 else 0  # first carries compile
+        times = self.frame_times[drop:]
+        paths = self._frame_paths[drop:]
         if not times:
             return {}
         mean_t = float(np.mean(times))
-        n_paths = self.cfg.width * self.cfg.height * self.cfg.samples_per_launch
         st = {
             "subframe": self.subframe,
             "spp": self.spp,
             "ms_per_frame": mean_t * 1e3,
-            "paths_per_sec": n_paths / mean_t,
+            "paths_per_sec": float(np.sum(paths)) / float(np.sum(times)),
         }
         pts = self._pv_times.get(self._pv_scale)
         if pts:
@@ -303,10 +350,11 @@ class ProgressiveRenderer:
     def save_checkpoint(self, path: str) -> None:
         meta = {
             "subframe": self.subframe,
+            "accum_spp": self._accum_spp,
             "camera": dataclasses.asdict(self.camera),
             "config": dataclasses.asdict(self.cfg),
             "scene": self._scene_fingerprint(),
-            "version": 2,
+            "version": 3,
         }
         np.savez_compressed(
             path,
@@ -338,6 +386,12 @@ class ProgressiveRenderer:
             )
         self.accum = jnp.asarray(data["accum"])
         self.subframe = int(meta["subframe"])
+        # v2 checkpoints predate the converge ramp: constant-spp history.
+        self._accum_spp = int(
+            meta.get(
+                "accum_spp", self.subframe * self.cfg.samples_per_launch
+            )
+        )
         cam_meta = meta["camera"]
         self.camera = Camera(
             eye=tuple(cam_meta["eye"]),

@@ -71,7 +71,10 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
             interacting = (time.time() - last_move[0]) < 0.5
             with lock:
                 if not (interacting and renderer.step_preview()):
-                    renderer.step()
+                    # Converge ramp: right after the camera settles, the
+                    # first launches are 1/2/4-spp so the full-res image
+                    # appears within ~one small launch, not one full batch.
+                    renderer.step_converge()
             time.sleep(0.001)
 
     worker = threading.Thread(target=render_loop, daemon=True)
