@@ -125,6 +125,13 @@ def main():
     ap.add_argument("--cost-ratio", type=float, default=1.60,
                     help="t_nee/t_bsdf fallback when not --timed "
                     "(docs/perf_notes.md round-3 NEE decomposition)")
+    ap.add_argument("--denoised", action="store_true",
+                    help="additionally sweep display SSIM through the "
+                    "built-in A-Trous denoiser (the recommended low-spp "
+                    "workflow): does --nee win once fireflies are "
+                    "clamp+filtered instead of tonemap-clamped?")
+    ap.add_argument("--save-frames", default="",
+                    help="npz path to dump both arms' frames for reuse")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -134,6 +141,8 @@ def main():
 
     f_off, t_off, cfg = run_arm(args.scene, False, (w, h), args.frames, args.timed)
     f_nee, t_nee, _ = run_arm(args.scene, True, (w, h), args.frames, args.timed)
+    if args.save_frames:
+        np.savez_compressed(args.save_frames, bsdf=f_off, nee=f_nee)
 
     # Converged target: mean of BOTH arms' frames (2N spp total; both
     # estimators are unbiased for the same integral — test_nee_matches_
@@ -176,6 +185,33 @@ def main():
         ssim_table[f"nee@{b}spp_vs_bsdf@{n_off_b}spp"] = [
             round(float(s_n), 5), round(float(s_o), 5)
         ]
+    # Same sweep through the built-in denoiser: the recommended low-spp
+    # workflow clamps fireflies BEFORE filtering, so the tonemap-clamp
+    # advantage of the BSDF arm may not survive.  One deterministic
+    # G-buffer serves both arms (estimator-independent geometry pass).
+    denoised_table = {}
+    if args.denoised:
+        from tpu_pathtracer.render.aov import atrous_denoise, render_aov
+
+        scene_d, cam_d, cfg_d = build(args.scene, False, (w, h))
+        aov = render_aov(scene_d, cam_d, cfg_d)
+
+        def shown_dn(x):
+            return np.asarray(
+                to_uint8(post_process(atrous_denoise(jnp.asarray(x), aov), cfg))
+            ) / 255.0
+
+        ref_dn = shown(target)  # judge against the converged RAW display
+        for b in budgets:
+            n_off_b = max(1, int(round(b * cost)))
+            if b > len(f_nee) or n_off_b > len(f_off):
+                continue
+            s_o = ssim(shown_dn(f_off[:n_off_b].mean(axis=0)), ref_dn)
+            s_n = ssim(shown_dn(f_nee[:b].mean(axis=0)), ref_dn)
+            denoised_table[f"nee@{b}spp_vs_bsdf@{n_off_b}spp"] = [
+                round(float(s_n), 5), round(float(s_o), 5)
+            ]
+
     n_nee = args.spp
     n_off = max(1, int(round(args.spp * cost)))
     s_off = ssim(shown(f_off[:n_off].mean(axis=0)), img_ref)
@@ -195,6 +231,7 @@ def main():
             f"nee@{n_nee}spp": round(float(s_nee), 5),
         },
         "equal_time_ssim_sweep": ssim_table,
+        **({"equal_time_ssim_denoised": denoised_table} if denoised_table else {}),
     }))
 
 
