@@ -59,6 +59,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--interactive", action="store_true", help="serve the interactive web viewer")
     p.add_argument("--port", type=int, default=8000, help="viewer port")
     p.add_argument("--preview-budget-ms", type=float, default=125.0, help="interaction preview frame budget; the viewer auto-picks the finest preview resolution that fits it")
+    p.add_argument("--no-converge-ramp", action="store_true", help="skip the post-settle 1/2/4-spp ramp (saves its one-time extra jit compiles)")
     p.add_argument("--seed", type=int, default=0, help="seed for random (untextured) materials")
     p.add_argument("--scene-cache", action=argparse.BooleanOptionalAction, default=True, help="packed-scene cache under ~/.cache/tpu_pathtracer/scenes (warm loads skip decode+packing)")
     p.add_argument("--refresh-scene-cache", action="store_true", help="rebuild the packed-scene cache entry even if fresh")
@@ -258,7 +259,8 @@ def main(argv=None) -> int:
     if args.interactive:
         from tpu_pathtracer.viewer import serve
 
-        serve(renderer, port=args.port)
+        serve(renderer, port=args.port,
+              converge_ramp=not args.no_converge_ramp)
         return 0
 
     total_spp = args.spp if args.spp > 0 else cfg.samples_per_launch

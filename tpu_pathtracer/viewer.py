@@ -56,8 +56,14 @@ window.onkeydown=e=>{if(e.key==='g'||e.key==='G')fetch('/toggle_dof');
 </script></body></html>"""
 
 
-def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = True):
-    """Serve the interactive viewer for a ProgressiveRenderer."""
+def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = True,
+          converge_ramp: bool = True):
+    """Serve the interactive viewer for a ProgressiveRenderer.
+
+    converge_ramp=False skips the post-settle 1/2/4-spp ramp (each ramp
+    size is one extra one-time jit compile; on axon the remote compile
+    service is erratic, so a user who prefers one compile over fast
+    first pixels can opt out)."""
     lock = threading.Lock()
     stop = threading.Event()
     last_move = [0.0]  # wall time of the last camera interaction
@@ -74,7 +80,10 @@ def serve(renderer, port: int = 8000, host: str = "127.0.0.1", block: bool = Tru
                     # Converge ramp: right after the camera settles, the
                     # first launches are 1/2/4-spp so the full-res image
                     # appears within ~one small launch, not one full batch.
-                    renderer.step_converge()
+                    if converge_ramp:
+                        renderer.step_converge()
+                    else:
+                        renderer.step()
             time.sleep(0.001)
 
     worker = threading.Thread(target=render_loop, daemon=True)
