@@ -250,3 +250,62 @@ def test_nee_matches_bsdf_sampling_mean():
     # ... and per-pixel agreement within noise.
     rel = np.abs(img_b - img_n) / (img_b + 0.05)
     assert np.median(rel) < 0.08, float(np.median(rel))
+
+
+def test_env_pdf_alias_matches_sampler():
+    # env_pdf_alias evaluated AT the sampler's own draws must reproduce
+    # the pdf the sampler returned (same mass, same continuous-elevation
+    # Jacobian) — the consistency the defensive-mixture weight rests on.
+    env = envmap.with_importance_sampling(make_env(procedural_hdr(16, 32, seed=4)))
+    n = 20_000
+    rs = np.random.RandomState(3)
+    us = [jnp.asarray(rs.rand(n), jnp.float32) for _ in range(4)]
+    d, pdf, _, _ = envmap.sample_env_alias(env.alias_table, 16, 32, *us)
+    pdf2 = envmap.env_pdf_alias(env.alias_table, 16, 32, d)
+    # The direction->uv round-trip can land in a neighbouring texel for
+    # draws at a texel edge; demand exact-texel agreement for the bulk.
+    rel = np.abs(np.asarray(pdf2) - np.asarray(pdf)) / np.asarray(pdf)
+    assert float(np.mean(rel < 1e-3)) > 0.97, float(np.mean(rel < 1e-3))
+
+
+def test_nee_defensive_mix_matches_mean():
+    """The defensive 0.5 alias + 0.5 cosine mixture is the SAME integral:
+    its converged image must agree with plain NEE and the weight math is
+    bounded by the balance heuristic (no silent bias)."""
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.film import accumulate
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+    from tpu_pathtracer.scene.procedural import single_sphere_scene
+
+    env = envmap.with_importance_sampling(
+        make_env(procedural_hdr(16, 32, seed=7, sun_intensity=40.0))
+    )
+    scene = single_sphere_scene(stacks=8, slices=16).replace(env=env)
+    base = dict(
+        width=16, height=12, samples_per_launch=16, max_depth=4, dof=False,
+        env_mode="equirect", intersector="brute", rr_mode="standard",
+        regenerate=False, env_importance_sampling=True,
+    )
+    cfg_nee = RenderConfig(**base)
+    cfg_mix = RenderConfig(**base, nee_defensive_mix=True)
+    cam = camera_arrays(Camera(), cfg_nee)
+
+    def mean_image(cfg, frames):
+        acc = jnp.zeros((cfg.height, cfg.width, 3))
+        for k in range(frames):
+            acc = accumulate(acc, render_frame(scene, cam, cfg, jnp.int32(k)), k)
+        return np.asarray(acc)
+
+    img_n = mean_image(cfg_nee, 40)
+    img_m = mean_image(cfg_mix, 40)
+    tot_n, tot_m = img_n.mean(), img_m.mean()
+    assert abs(tot_n - tot_m) / tot_n < 0.03, (tot_n, tot_m)
+    rel = np.abs(img_n - img_m) / (img_n + 0.05)
+    assert np.median(rel) < 0.08, float(np.median(rel))
+
+
+def test_nee_defensive_mix_requires_nee():
+    import pytest
+
+    with pytest.raises(ValueError, match="nee_defensive_mix"):
+        RenderConfig(nee_defensive_mix=True)

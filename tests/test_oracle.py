@@ -113,3 +113,21 @@ def test_oracle_nee():
     )
     frac = compare(scene, cfg, Camera())
     assert frac >= 0.98
+
+
+def test_oracle_nee_defensive_mix():
+    # Defensive-mixture NEE: branch choice, cosine draw, mixture pdf and
+    # the discarded pair-parity draw must agree lane-for-lane with the
+    # integrator (same contract as test_oracle_nee).
+    from tpu_pathtracer.render.envmap import with_importance_sampling
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    env = with_importance_sampling(make_env(procedural_hdr(16, 32, seed=5)))
+    scene = three_spheres_scene(stacks=6, slices=12).replace(env=env)
+    cfg = cfg_(
+        env_mode="equirect", env_importance_sampling=True,
+        nee_defensive_mix=True, rr_mode="standard",
+    )
+    frac = compare(scene, cfg, Camera())
+    assert frac >= 0.98

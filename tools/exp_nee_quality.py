@@ -52,7 +52,8 @@ def build(scene_name: str, nee: bool, size):
     w, h = size
     common = dict(
         width=w, height=h, samples_per_launch=1, dof=False,
-        env_mode="equirect", env_importance_sampling=nee,
+        env_mode="equirect", env_importance_sampling=bool(nee),
+        nee_defensive_mix=(nee == "defensive"),
         rr_mode="standard",   # SAME estimator both arms: isolate NEE
     )
     if scene_name == "spheres":
@@ -125,6 +126,9 @@ def main():
     ap.add_argument("--cost-ratio", type=float, default=1.60,
                     help="t_nee/t_bsdf fallback when not --timed "
                     "(docs/perf_notes.md round-3 NEE decomposition)")
+    ap.add_argument("--defensive", action="store_true",
+                    help="the NEE arm uses the 0.5 alias + 0.5 cosine "
+                    "defensive mixture (cfg.nee_defensive_mix)")
     ap.add_argument("--denoised", action="store_true",
                     help="additionally sweep display SSIM through the "
                     "built-in A-Trous denoiser (the recommended low-spp "
@@ -139,8 +143,9 @@ def main():
 
     enable_compile_cache()
 
+    nee_mode = "defensive" if args.defensive else True
     f_off, t_off, cfg = run_arm(args.scene, False, (w, h), args.frames, args.timed)
-    f_nee, t_nee, _ = run_arm(args.scene, True, (w, h), args.frames, args.timed)
+    f_nee, t_nee, _ = run_arm(args.scene, nee_mode, (w, h), args.frames, args.timed)
     if args.save_frames:
         np.savez_compressed(args.save_frames, bsdf=f_off, nee=f_nee)
 
@@ -219,6 +224,7 @@ def main():
 
     print(json.dumps({
         "scene": args.scene, "size": args.size, "frames": args.frames,
+        "nee_defensive_mix": args.defensive,
         "var_bsdf_1spp": v_off, "var_nee_1spp": v_nee,
         "variance_reduction": round(r, 3),
         "cost_ratio": round(cost, 3),

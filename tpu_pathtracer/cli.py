@@ -50,6 +50,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--aov-prefix", default="", help="also write <prefix>_normal/_depth/_albedo.png G-buffer passes (render/aov.py)")
     p.add_argument("--denoise", action="store_true", help="edge-avoiding A-Trous denoise of the output/display image, guided by a G-buffer AOV pass (beyond reference; accumulation and checkpoints stay raw)")
     p.add_argument("--nee", action="store_true", help="environment importance sampling (next-event estimation; beyond reference)")
+    p.add_argument("--nee-defensive", action="store_true", help="with --nee: draw the light sample from a 0.5 alias + 0.5 cosine mixture (balance heuristic) — trades a bounded 2x sun-sample variance for much lower broad-sky noise")
     p.add_argument("--tile-pixels", type=int, default=None, help="pixels per launch tile (0 = whole frame)")
     p.add_argument("--checkpoint", default="", help="checkpoint file; saved every --checkpoint-every subframes")
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -103,6 +104,9 @@ def build_from_args(args):
     from tpu_pathtracer.render.camera import Camera
     from tpu_pathtracer.render.envmap import build_env_cdf
 
+    if args.nee_defensive:
+        args.nee = True  # the mixture is a mode OF the NEE light sample
+
     if args.scene_file:
         from tpu_pathtracer.scene.scenefile import load_scene_file
         from tpu_pathtracer.utils import logging as plog
@@ -127,6 +131,9 @@ def build_from_args(args):
                 overrides[field] = val
         if args.nee:
             overrides["env_importance_sampling"] = True
+        if args.nee_defensive:
+            overrides["env_importance_sampling"] = True
+            overrides["nee_defensive_mix"] = True
         scene, camera, cfg = load_scene_file(args.scene_file, overrides)
         plog.set_verbosity(args.verbosity)
         plog.info(
@@ -178,6 +185,7 @@ def build_from_args(args):
         rr_mode=rr_mode,
         texture_lod=dflt(args.texture_lod, "texture_lod"),
         env_importance_sampling=args.nee,
+        nee_defensive_mix=args.nee_defensive,
         intersector=args.accel if args.scene else "brute",
         tile_pixels=dflt(args.tile_pixels, "tile_pixels"),
     )

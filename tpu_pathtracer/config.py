@@ -99,6 +99,14 @@ class RenderConfig:
     # Environment-map CDF importance sampling (exceeds the reference — its
     # NEE path is dead code, optixSphere.cu:134-156, 858).
     env_importance_sampling: bool = False
+    # Defensive one-sample mixture for the NEE light sample: draw the env
+    # direction from 0.5*alias + 0.5*cosine and divide by the mixture pdf
+    # (balance heuristic).  Targets the measured weakness of pure
+    # luminance-proportional sampling — broad-sky speckle where the
+    # cosine factor, not luminance, shapes the integrand (perf_notes
+    # round 4, NEE equal-time study); bounds the weight at 2x the pure
+    # cosine estimator's where the alias pdf is a bad match.
+    nee_defensive_mix: bool = False
 
     # ---- performance knobs ----------------------------------------------
     # Rays are processed in flat batches of (tile pixels x samples); tiles
@@ -247,6 +255,11 @@ class RenderConfig:
                 "env_importance_sampling (NEE) requires rr_mode='standard': "
                 "the reference RR estimator's terminal /p division would "
                 "bias mid-path NEE contributions"
+            )
+        if self.nee_defensive_mix and not self.env_importance_sampling:
+            raise ValueError(
+                "nee_defensive_mix is a mode OF the NEE light sample: "
+                "it requires env_importance_sampling=True"
             )
         if self.env_mode not in ("equirect", "sunsky", "constant"):
             raise ValueError(f"invalid env_mode: {self.env_mode!r}")

@@ -169,6 +169,18 @@ class OracleScene:
         pdf = F(pmass * (h * w) / (2.0 * np.pi * np.pi * cos_elev))
         return d, pdf, u, v
 
+    def pdf_env_alias(self, d):
+        """Scalar mirror of envmap.env_pdf_alias (mass gather + Jacobian)."""
+        h, w = self.env.shape[:2]
+        dn = normalize(d)
+        u = F(0.5 + np.arctan2(dn[2], dn[0]) / (2 * np.pi))
+        v = F(0.5 - np.arcsin(np.clip(dn[1], -1, 1)) / np.pi)
+        col = min(max(int(u * w), 0), w - 1)
+        row = min(max(int(v * h), 0), h - 1)
+        pmass = F(self.alias[row * w + col, 2])
+        cos_elev = F(max(float(np.cos((0.5 - v) * np.pi)), 1e-6))
+        return F(pmass * (h * w) / (2.0 * np.pi * np.pi * cos_elev)), u, v
+
     def intersect(self, o, d, t_min, t_max):
         """Brute-force closest hit; min-prim tie-break like the JAX path."""
         p = np.cross(np.broadcast_to(d, self.e2.shape), self.e2)
@@ -451,6 +463,29 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
                     env_dir, env_pdf, env_u, env_v = sc.sample_env_alias(
                         u1, u2, u3, u4
                     )
+                    if cfg.nee_defensive_mix:
+                        # Defensive mixture, draw-for-draw with the
+                        # integrator: u5 picks the branch, u3/u4 are
+                        # reused for the cosine draw, u6 is a discarded
+                        # pair-parity draw.
+                        seed, u5 = uniform(seed)
+                        seed, _u6 = uniform(seed)
+                        t_n, b_n = onb(sh["normal"])
+                        rr_c = F(np.sqrt(u3))
+                        phi_c = F(2 * np.pi) * u4
+                        cx = rr_c * F(np.cos(phi_c))
+                        cz = rr_c * F(np.sin(phi_c))
+                        cy = F(np.sqrt(max(0.0, 1 - cx * cx - cz * cz)))
+                        dir_cos = onb_transform(
+                            np.array([cx, cy, cz], F), t_n, sh["normal"], b_n
+                        )
+                        if u5 < 0.5:
+                            p_alias = env_pdf
+                        else:
+                            p_alias, env_u, env_v = sc.pdf_env_alias(dir_cos)
+                            env_dir = dir_cos
+                        cos_sel = F(max(float(sh["normal"] @ env_dir), 0.0))
+                        env_pdf = F(0.5 * p_alias + 0.5 * cos_sel / np.pi)
                     cos_l = F(max(float(sh["normal"] @ env_dir), 0.0))
                     nee_ok = (
                         not sh["done"]  # depth parity with the base estimator

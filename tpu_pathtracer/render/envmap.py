@@ -261,6 +261,25 @@ def with_importance_sampling(env: EnvironmentMap) -> EnvironmentMap:
     return env.replace(alias_table=build_env_alias(env))
 
 
+def env_pdf_alias(
+    table: jnp.ndarray, height: int, width: int, direction: jnp.ndarray
+) -> jnp.ndarray:
+    """Solid-angle pdf of `sample_env_alias` at arbitrary directions.
+
+    Gathers the texel probability MASS from the alias table (column 2 —
+    the exact masses the sampler draws from, cheaper and more consistent
+    than recomputing luminance like `env_pdf`) and applies the same
+    continuous-elevation Jacobian as `sample_env_alias`, so the density
+    agrees with the sampler everywhere — required for defensive-mixture
+    (one-sample MIS) weights."""
+    u, v = direction_to_uv(direction)
+    col = jnp.clip((u * width).astype(jnp.int32), 0, width - 1)
+    row = jnp.clip((v * height).astype(jnp.int32), 0, height - 1)
+    pmass = table[row * width + col, 2]
+    cos_elev = jnp.maximum(jnp.cos((0.5 - v) * jnp.pi), 1e-6)
+    return pmass * (height * width) / (2.0 * jnp.pi * jnp.pi * cos_elev)
+
+
 def env_pdf(env: EnvironmentMap, direction: jnp.ndarray) -> jnp.ndarray:
     """Solid-angle pdf of sample_env for given directions."""
     h, w = env.data.shape[0], env.data.shape[1]

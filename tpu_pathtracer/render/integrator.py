@@ -572,6 +572,40 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             scene.env.alias_table, scene.env.height, scene.env.width,
             u1, u2, u3, u4,
         )
+        if cfg.nee_defensive_mix:
+            # Defensive one-sample mixture (config.py nee_defensive_mix):
+            # draw the light direction from 0.5*alias + 0.5*cosine and
+            # divide by the mixture density (balance heuristic).  u3/u4
+            # are reused for the cosine draw — only one branch's value is
+            # consumed per lane, selected by the independent u5.  u6 is
+            # drawn and discarded to keep the seed chain in uniform2
+            # pairs (oracle.py mirrors draw-for-draw).
+            from tpu_pathtracer.render.envmap import (
+                direction_to_uv,
+                env_pdf_alias,
+            )
+
+            seeds_out, u5, _u6 = rng.uniform2(seeds_out)
+            tang_n, binorm_n = vm.onb_from_normal(sh["normal"])
+            dir_cos = vm.onb_transform(
+                rng.cosine_sample_hemisphere(u3, u4),
+                tang_n, sh["normal"], binorm_n,
+            )
+            take_alias = u5 < 0.5
+            env_dir = jnp.where(take_alias[:, None], env_dir, dir_cos)
+            u_cos, v_cos = direction_to_uv(dir_cos)
+            env_u = jnp.where(take_alias, env_u, u_cos)
+            env_v = jnp.where(take_alias, env_v, v_cos)
+            p_alias = jnp.where(
+                take_alias,
+                env_pdf_v,
+                env_pdf_alias(
+                    scene.env.alias_table, scene.env.height,
+                    scene.env.width, dir_cos,
+                ),
+            )
+            cos_sel = jnp.maximum(vm.dot(sh["normal"], env_dir), 0.0)
+            env_pdf_v = 0.5 * p_alias + 0.5 * cos_sel / jnp.pi
         from tpu_pathtracer.ops.intersect import occluded_scene
 
         cos_l = jnp.maximum(vm.dot(sh["normal"], env_dir), 0.0)

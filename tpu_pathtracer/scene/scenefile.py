@@ -120,6 +120,17 @@ def load_scene_file(
     cfg = RenderConfig(**render_spec)
 
     env = _build_env(env_spec, base_dir, cfg.env_mode)
+    # A CLI override (--nee/--nee-defensive) can enable NEE even when the
+    # file's [environment] did not ask for importance_sampling — the env
+    # still needs its alias table.
+    if (
+        env is not None
+        and cfg.env_importance_sampling
+        and env.alias_table is None
+    ):
+        from tpu_pathtracer.render.envmap import with_importance_sampling
+
+        env = with_importance_sampling(env)
 
     camera = Camera(
         eye=tuple(cam_spec.get("eye", (0.0, 2.0, 6.0))),       # cpp:104
