@@ -50,4 +50,7 @@ run bench.py --config 1 --frames 4 --lanes 262144
 run tools/exp_shard_overhead.py --frames 4
 # VERDICT r3 #6: NEE equal-time quality with MEASURED cost ratio on the hero.
 run tools/exp_nee_quality.py --scene suitcase --size 480x270 --frames 24 --timed
+# Round-4 defensive mixture: same hero study with the 0.5 alias + 0.5
+# cosine light sample (cfg.nee_defensive_mix).
+run tools/exp_nee_quality.py --scene suitcase --size 480x270 --frames 24 --timed --defensive
 echo "SWEEP DONE $(date)" | tee -a "$LOG"
