@@ -145,6 +145,25 @@ def test_cli_denoise_and_aov_outputs(scene, tmp_path):
         assert img.shape == (16, 32, 3), kind
 
 
+def test_cli_nee_defensive_smoke(scene, tmp_path):
+    # --nee-defensive implies --nee, builds the alias table for the
+    # procedural equirect env, and renders non-black output.
+    from PIL import Image
+
+    from tpu_pathtracer.cli import main
+
+    out = str(tmp_path / "mix.png")
+    rc = main(
+        [
+            "--file", out, "--dim=32x16", "-s", "1", "--spp", "1",
+            "--max-depth", "2", "--no-dof", "--env", "procedural",
+            "--nee-defensive",
+        ]
+    )
+    assert rc == 0
+    assert np.asarray(Image.open(out)).max() > 0
+
+
 def test_cli_dim_validation():
     from tpu_pathtracer.cli import main
 
