@@ -309,3 +309,46 @@ def test_nee_defensive_mix_requires_nee():
 
     with pytest.raises(ValueError, match="nee_defensive_mix"):
         RenderConfig(nee_defensive_mix=True)
+
+
+def test_nee_mis_spec_matches_mean():
+    """Spec-lobe MIS re-weights BOTH arms of the spec env estimate with
+    balance weights that sum to 1, so the converged image must agree
+    with plain NEE (no silent bias from the pdf bookkeeping)."""
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.film import accumulate
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+    from tpu_pathtracer.scene.procedural import single_sphere_scene
+
+    env = envmap.with_importance_sampling(
+        make_env(procedural_hdr(16, 32, seed=7, sun_intensity=40.0))
+    )
+    scene = single_sphere_scene(stacks=8, slices=16).replace(env=env)
+    base = dict(
+        width=16, height=12, samples_per_launch=16, max_depth=4, dof=False,
+        env_mode="equirect", intersector="brute", rr_mode="standard",
+        regenerate=False, env_importance_sampling=True,
+    )
+    cfg_nee = RenderConfig(**base)
+    cfg_mis = RenderConfig(**base, nee_mis_spec=True)
+    cam = camera_arrays(Camera(), cfg_nee)
+
+    def mean_image(cfg, frames):
+        acc = jnp.zeros((cfg.height, cfg.width, 3))
+        for k in range(frames):
+            acc = accumulate(acc, render_frame(scene, cam, cfg, jnp.int32(k)), k)
+        return np.asarray(acc)
+
+    img_n = mean_image(cfg_nee, 40)
+    img_m = mean_image(cfg_mis, 40)
+    tot_n, tot_m = img_n.mean(), img_m.mean()
+    assert abs(tot_n - tot_m) / tot_n < 0.04, (tot_n, tot_m)
+    rel = np.abs(img_n - img_m) / (img_n + 0.05)
+    assert np.median(rel) < 0.08, float(np.median(rel))
+
+
+def test_nee_mis_spec_requires_nee():
+    import pytest
+
+    with pytest.raises(ValueError, match="nee_mis_spec"):
+        RenderConfig(nee_mis_spec=True)

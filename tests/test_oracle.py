@@ -131,3 +131,20 @@ def test_oracle_nee_defensive_mix():
     )
     frac = compare(scene, cfg, Camera())
     assert frac >= 0.98
+
+
+def test_oracle_nee_mis_spec():
+    # Spec-lobe MIS: the carried balance weight, the light-arm spec term
+    # and the weighted miss credit must agree lane-for-lane.
+    from tpu_pathtracer.render.envmap import with_importance_sampling
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+
+    env = with_importance_sampling(make_env(procedural_hdr(16, 32, seed=5)))
+    scene = three_spheres_scene(stacks=6, slices=12).replace(env=env)
+    cfg = cfg_(
+        env_mode="equirect", env_importance_sampling=True,
+        nee_mis_spec=True, rr_mode="standard",
+    )
+    frac = compare(scene, cfg, Camera())
+    assert frac >= 0.98

@@ -50,10 +50,12 @@ def build(scene_name: str, nee: bool, size):
 
         env = with_importance_sampling(env)
     w, h = size
+    nee_opts = set(nee.split("+")) if isinstance(nee, str) else set()
     common = dict(
         width=w, height=h, samples_per_launch=1, dof=False,
         env_mode="equirect", env_importance_sampling=bool(nee),
-        nee_defensive_mix=(nee == "defensive"),
+        nee_defensive_mix="defensive" in nee_opts,
+        nee_mis_spec="mis" in nee_opts,
         rr_mode="standard",   # SAME estimator both arms: isolate NEE
     )
     if scene_name == "spheres":
@@ -129,6 +131,9 @@ def main():
     ap.add_argument("--defensive", action="store_true",
                     help="the NEE arm uses the 0.5 alias + 0.5 cosine "
                     "defensive mixture (cfg.nee_defensive_mix)")
+    ap.add_argument("--mis", action="store_true",
+                    help="the NEE arm uses spec-lobe MIS "
+                    "(cfg.nee_mis_spec); combinable with --defensive")
     ap.add_argument("--denoised", action="store_true",
                     help="additionally sweep display SSIM through the "
                     "built-in A-Trous denoiser (the recommended low-spp "
@@ -143,7 +148,8 @@ def main():
 
     enable_compile_cache()
 
-    nee_mode = "defensive" if args.defensive else True
+    opts = [o for o, on in (("defensive", args.defensive), ("mis", args.mis)) if on]
+    nee_mode = "+".join(opts) if opts else True
     f_off, t_off, cfg = run_arm(args.scene, False, (w, h), args.frames, args.timed)
     f_nee, t_nee, _ = run_arm(args.scene, nee_mode, (w, h), args.frames, args.timed)
     if args.save_frames:
@@ -225,6 +231,7 @@ def main():
     print(json.dumps({
         "scene": args.scene, "size": args.size, "frames": args.frames,
         "nee_defensive_mix": args.defensive,
+        "nee_mis_spec": args.mis,
         "var_bsdf_1spp": v_off, "var_nee_1spp": v_nee,
         "variance_reduction": round(r, 3),
         "cost_ratio": round(cost, 3),

@@ -51,6 +51,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise", action="store_true", help="edge-avoiding A-Trous denoise of the output/display image, guided by a G-buffer AOV pass (beyond reference; accumulation and checkpoints stay raw)")
     p.add_argument("--nee", action="store_true", help="environment importance sampling (next-event estimation; beyond reference)")
     p.add_argument("--nee-defensive", action="store_true", help="with --nee: draw the light sample from a 0.5 alias + 0.5 cosine mixture (balance heuristic) — trades a bounded 2x sun-sample variance for much lower broad-sky noise")
+    p.add_argument("--nee-mis", action="store_true", help="with --nee: spec-lobe MIS — balance-weight spec-sampled env credits against the light sample and add the matching light-sampled spec term (kills rough-specular sun fireflies)")
     p.add_argument("--tile-pixels", type=int, default=None, help="pixels per launch tile (0 = whole frame)")
     p.add_argument("--checkpoint", default="", help="checkpoint file; saved every --checkpoint-every subframes")
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -104,8 +105,8 @@ def build_from_args(args):
     from tpu_pathtracer.render.camera import Camera
     from tpu_pathtracer.render.envmap import build_env_cdf
 
-    if args.nee_defensive:
-        args.nee = True  # the mixture is a mode OF the NEE light sample
+    if args.nee_defensive or args.nee_mis:
+        args.nee = True  # both are modes OF the NEE light sample
 
     if args.scene_file:
         from tpu_pathtracer.scene.scenefile import load_scene_file
@@ -134,6 +135,9 @@ def build_from_args(args):
         if args.nee_defensive:
             overrides["env_importance_sampling"] = True
             overrides["nee_defensive_mix"] = True
+        if args.nee_mis:
+            overrides["env_importance_sampling"] = True
+            overrides["nee_mis_spec"] = True
         scene, camera, cfg = load_scene_file(args.scene_file, overrides)
         plog.set_verbosity(args.verbosity)
         plog.info(
@@ -186,6 +190,7 @@ def build_from_args(args):
         texture_lod=dflt(args.texture_lod, "texture_lod"),
         env_importance_sampling=args.nee,
         nee_defensive_mix=args.nee_defensive,
+        nee_mis_spec=args.nee_mis,
         intersector=args.accel if args.scene else "brute",
         tile_pixels=dflt(args.tile_pixels, "tile_pixels"),
     )

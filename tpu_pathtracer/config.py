@@ -107,6 +107,13 @@ class RenderConfig:
     # round 4, NEE equal-time study); bounds the weight at 2x the pure
     # cosine estimator's where the alias pdf is a bad match.
     nee_defensive_mix: bool = False
+    # Spec-lobe MIS (one-sample balance heuristic) between GGX sampling
+    # and the env light sample: env credits on spec-sampled misses are
+    # weighted p_ggx/(p_ggx + p_light), and the matching light-sampled
+    # spec term rides the existing NEE shadow ray (no extra occlusion
+    # cost).  Attacks the display studies' residual error — rough-GGX
+    # samples hitting the small bright sun at low pdf (perf_notes r4).
+    nee_mis_spec: bool = False
 
     # ---- performance knobs ----------------------------------------------
     # Rays are processed in flat batches of (tile pixels x samples); tiles
@@ -260,6 +267,11 @@ class RenderConfig:
             raise ValueError(
                 "nee_defensive_mix is a mode OF the NEE light sample: "
                 "it requires env_importance_sampling=True"
+            )
+        if self.nee_mis_spec and not self.env_importance_sampling:
+            raise ValueError(
+                "nee_mis_spec combines the spec lobe WITH the NEE light "
+                "sample: it requires env_importance_sampling=True"
             )
         if self.env_mode not in ("equirect", "sunsky", "constant"):
             raise ValueError(f"invalid env_mode: {self.env_mode!r}")

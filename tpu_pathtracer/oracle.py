@@ -397,6 +397,9 @@ def _shade(sc: OracleScene, cfg, prim, t_hit, beta, gamma, o, d, seed, depth):
         # NEE extras (mirror integrator._shade's return)
         normal=normal, brdf=brdf, spec_prob=spec_prob, idotn=idotn,
         degenerate=degenerate, glass=transparent, choose_spec=choose_spec,
+        # spec-lobe MIS extras (cfg.nee_mis_spec)
+        spec_dir=normalize(light_dir), spec_pdf=spdf, f_vec=f_vec,
+        alpha=alpha, albedo=albedo,
     )
 
 
@@ -445,7 +448,11 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
             if hit is None:
                 # With NEE, env misses are credited only to spec-sampled
                 # segments (the diffuse share is handled by light sampling).
-                if not nee or spec_last:
+                # Under spec-lobe MIS, spec_last carries the balance
+                # weight (float) instead of the boolean.
+                if nee and cfg.nee_mis_spec:
+                    radiance = radiance + att * sc.eval_env(direction, cfg) * F(spec_last)
+                elif not nee or spec_last:
                     radiance = radiance + att * sc.eval_env(direction, cfg)
                 done = True
             else:
@@ -499,8 +506,67 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
                             (1.0 - sh["spec_prob"]) * sh["idotn"] * cos_l
                             / (np.pi * max(float(env_pdf), 1e-12))
                         )
-                        radiance = radiance + att * sh["brdf"] * weight * l_env
-                    spec_last = bool(sh["choose_spec"]) or bool(sh["glass"])
+                        contrib = att * sh["brdf"] * weight * l_env
+                        if cfg.nee_mis_spec:
+                            # Light-arm spec term (same draw + shadow ray),
+                            # mirroring integrator._trace_bounce.
+                            view = -direction
+                            h_l = normalize(view + env_dir)
+                            ndoth_l = F(max(float(sh["normal"] @ h_l), 1e-10))
+                            a2l = F(sh["alpha"] * sh["alpha"])
+                            dd_l = F(ndoth_l * ndoth_l * (a2l - 1) + 1)
+                            d_term_l = F(a2l / (np.pi * dd_l * dd_l))
+                            k_l = F(sh["alpha"] / 2)
+
+                            def g1_l(x):
+                                nx = abs(float(sh["normal"] @ x))
+                                return F(nx / max(nx * (1 - k_l) + k_l, 1e-10))
+
+                            g_term_l = F(g1_l(view) * g1_l(env_dir))
+                            ndotv_l = F(sh["normal"] @ view)
+                            denom_l = F(
+                                4 * abs(ndotv_l)
+                                * abs(float(sh["normal"] @ env_dir))
+                            )
+                            brdf_spec_l = sh["f_vec"] * F(
+                                d_term_l * g_term_l / max(denom_l, 1e-10)
+                            )
+                            vdoth_l = F(max(float(view @ h_l), 1e-10))
+                            p_ggx_l = F(d_term_l * ndoth_l / (4 * vdoth_l))
+                            w_l = F(
+                                env_pdf / max(env_pdf + p_ggx_l, 1e-20)
+                            )
+                            g_spec = (
+                                sh["spec_prob"]
+                                * (
+                                    sh["spec_prob"] * brdf_spec_l
+                                    + (1 - sh["spec_prob"]) * np.pi
+                                    * p_ggx_l * sh["albedo"]
+                                )
+                                * cos_l
+                            )
+                            contrib = contrib + att * g_spec * F(
+                                w_l / max(float(env_pdf), 1e-12)
+                            ) * l_env
+                        radiance = radiance + contrib
+                    if cfg.nee_mis_spec:
+                        p_alias_s, _, _ = sc.pdf_env_alias(sh["spec_dir"])
+                        if cfg.nee_defensive_mix:
+                            cos_s = F(max(float(sh["normal"] @ sh["spec_dir"]), 0.0))
+                            p_light_s = F(0.5 * p_alias_s + 0.5 * cos_s / np.pi)
+                        else:
+                            p_light_s = p_alias_s
+                        if sh["glass"]:
+                            spec_last = 1.0
+                        elif sh["choose_spec"]:
+                            spec_last = float(
+                                sh["spec_pdf"]
+                                / max(float(sh["spec_pdf"] + p_light_s), 1e-20)
+                            )
+                        else:
+                            spec_last = 0.0
+                    else:
+                        spec_last = bool(sh["choose_spec"]) or bool(sh["glass"])
                 if sh["att_ok"]:
                     att = att * sh["att_factor"]
                 done = sh["done"]

@@ -368,6 +368,12 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
         spec_prob=spec_prob,
         idotn=idotn,
         brdf_combined=brdf_combined,
+        # extras for spec-lobe MIS (cfg.nee_mis_spec); dead-code
+        # eliminated when unused
+        spec_dir=vm.normalize(light_dir),
+        spec_pdf=spdf,
+        f_vec=f_vec,
+        alpha=alpha,
     )
 
 
@@ -533,7 +539,12 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
     # miss program (cu:531-567): radiance += att * env; done.  Hit lanes
     # never consume env_rad, so their gather rows collapse onto row 0.
     env_rad = eval_env(scene.env, direction, cfg, active=~hit.hit)
-    if nee:
+    if nee and cfg.nee_mis_spec:
+        # spec_last carries the balance-heuristic MIS weight (f32):
+        # 1.0 on primaries/glass, p_ggx/(p_ggx+p_light) on spec-sampled
+        # continuations, 0.0 on diffuse-sampled ones.
+        radiance_miss = radiance + attenuation * env_rad * spec_last[:, None]
+    elif nee:
         radiance_miss = radiance + jnp.where(
             spec_last[:, None], attenuation * env_rad, 0.0
         )
@@ -644,8 +655,68 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             / (jnp.pi * jnp.maximum(env_pdf_v, 1e-12))
         )
         contrib = attenuation * sh["brdf_combined"] * weight[:, None] * l_env
+        if cfg.nee_mis_spec:
+            from tpu_pathtracer.render.envmap import env_pdf_alias
+
+            # Light-arm spec term, riding the SAME draw and shadow ray.
+            # The base estimator's spec-component integrand in direction
+            # measure is g(d) = P_s*[P_s*f_spec(d) +
+            # (1-P_s)*albedo*pi*p_ggx(d)]*|n.d|*L(d)*vis(d) (its M =
+            # brdf_combined blend and IdotN quirk made explicit as
+            # functions of d); the alias/mixture draw estimates it as
+            # w_l * g(d_l)/p_light(d_l) with the balance weight
+            # w_l = p_light/(p_light + p_ggx).  env_pdf_v IS p_light
+            # here (the mixture overwrote it when defensive).
+            view = -direction
+            h_l = vm.normalize(view + env_dir)
+            d_term_l = bsdf.d_ggx(sh["normal"], h_l, sh["alpha"])
+            g_term_l = bsdf.g_smith(sh["alpha"], sh["normal"], view, env_dir)
+            ndotv_l = vm.dot(sh["normal"], view)
+            denom_l = 4.0 * jnp.abs(ndotv_l) * jnp.abs(
+                vm.dot(sh["normal"], env_dir)
+            )
+            brdf_spec_l = sh["f_vec"] * (
+                d_term_l * g_term_l / jnp.maximum(denom_l, 1e-10)
+            )[:, None]
+            ndoth_l = jnp.maximum(vm.dot(sh["normal"], h_l), 1e-10)
+            vdoth_l = jnp.maximum(vm.dot(view, h_l), 1e-10)
+            p_ggx_l = bsdf.ggx_pdf(d_term_l, ndoth_l, vdoth_l)
+            w_l = env_pdf_v / jnp.maximum(env_pdf_v + p_ggx_l, 1e-20)
+            g_spec = sh["spec_prob"][:, None] * (
+                sh["spec_prob"][:, None] * brdf_spec_l
+                + ((1.0 - sh["spec_prob"]) * jnp.pi * p_ggx_l)[:, None]
+                * sh["diffuse_albedo"]
+            ) * cos_l[:, None]
+            contrib = contrib + (
+                attenuation
+                * g_spec
+                * (w_l / jnp.maximum(env_pdf_v, 1e-12))[:, None]
+                * l_env
+            )
         radiance_hit = radiance_hit + jnp.where(nee_ok[:, None], contrib, 0.0)
-        spec_next = sh["choose_spec"] | sh["glass"]
+        if cfg.nee_mis_spec:
+            # BSDF-arm weight for the NEXT segment's env credit: p_light
+            # and p_ggx evaluated at the spec continuation direction with
+            # THIS bounce's normal (the same two densities as w_l above).
+            p_alias_s = env_pdf_alias(
+                scene.env.alias_table, scene.env.height, scene.env.width,
+                sh["spec_dir"],
+            )
+            if cfg.nee_defensive_mix:
+                cos_s = jnp.maximum(vm.dot(sh["normal"], sh["spec_dir"]), 0.0)
+                p_light_s = 0.5 * p_alias_s + 0.5 * cos_s / jnp.pi
+            else:
+                p_light_s = p_alias_s
+            w_b = sh["spec_pdf"] / jnp.maximum(
+                sh["spec_pdf"] + p_light_s, 1e-20
+            )
+            spec_next = jnp.where(
+                sh["glass"],
+                jnp.float32(1.0),
+                jnp.where(sh["choose_spec"], w_b, 0.0),
+            )
+        else:
+            spec_next = sh["choose_spec"] | sh["glass"]
     else:
         spec_next = spec_last
 
@@ -689,7 +760,10 @@ def render_rays(
         depth=jnp.full_like(seeds, cfg.max_depth, dtype=jnp.int32),
         terminated=jnp.zeros_like(seeds, dtype=bool),
         result=jnp.zeros_like(origins),
-        spec_last=jnp.ones_like(seeds, dtype=bool),  # primaries count specular
+        spec_last=jnp.ones_like(
+            seeds,
+            dtype=jnp.float32 if cfg.nee_mis_spec else bool,
+        ),  # primaries count specular
         bounce=jnp.int32(0),
         # + seeds[0]*0: ties the counters to per-device data so shard_map
         # varying-axes tracking sees them as device-varying like the rays.
@@ -830,7 +904,10 @@ def render_pixels_regen(
         sample_i=jnp.zeros_like(pixel_ids),
         accum=jnp.zeros_like(o0),
         exhausted=jnp.zeros_like(pixel_ids, dtype=bool),
-        spec_last=jnp.ones_like(pixel_ids, dtype=bool),
+        spec_last=jnp.ones_like(
+            pixel_ids,
+            dtype=jnp.float32 if cfg.nee_mis_spec else bool,
+        ),
         it=jnp.int32(0),
         segments=jnp.int32(0) + pixel_ids[0] * 0,   # shard_map-varying
         shadow=jnp.int32(0) + pixel_ids[0] * 0,
@@ -1031,7 +1108,10 @@ def render_pixels_stream(
         + vary.astype(jnp.float32),
         pend_cnt=jnp.zeros_like(pix0),
         head=jnp.int32(lanes) + vary,
-        spec_last=jnp.ones_like(pix0, dtype=bool),
+        spec_last=jnp.ones_like(
+            pix0,
+            dtype=jnp.float32 if cfg.nee_mis_spec else bool,
+        ),
         it=jnp.int32(0),
         segments=jnp.int32(0) + vary,               # shard_map-varying
         shadow=jnp.int32(0) + vary,
