@@ -53,4 +53,7 @@ run tools/exp_nee_quality.py --scene suitcase --size 480x270 --frames 24 --timed
 # Round-4 defensive mixture: same hero study with the 0.5 alias + 0.5
 # cosine light sample (cfg.nee_defensive_mix).
 run tools/exp_nee_quality.py --scene suitcase --size 480x270 --frames 24 --timed --defensive
+# Round-4 spec-lobe MIS: hero cost + quality (the extra env_pdf_alias
+# gather + BRDF eval per NEE sample is the only adder).
+run tools/exp_nee_quality.py --scene suitcase --size 480x270 --frames 24 --timed --mis
 echo "SWEEP DONE $(date)" | tee -a "$LOG"
