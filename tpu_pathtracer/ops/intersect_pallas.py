@@ -232,7 +232,7 @@ def _cluster_kernel(
 def _cluster_kernel_hier(
     aabbs_s,     # SMEM [S,8] f32: supercluster bounds
     order_s,     # SMEM [8,S] i32: per-octant front-to-back SUPER order
-    aabb_ref,    # SMEM [S*B,8] f32: child bounds (padding children inverted)
+    aabb_ref,    # VMEM [S*B,8] f32: child bounds (padding children inverted)
     rays_ref,    # VMEM (8,R) f32
     tris_ref,    # VMEM [C,K,16] f32
     t_ref, prim_ref, uv_ref,
@@ -297,6 +297,29 @@ def _cluster_kernel_hier(
         )
         return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[:])
 
+    def slab_child(c):
+        # Child bounds live in VMEM (SMEM holds only the S supercluster
+        # rows: at 64 B/element of padded SMEM the [S*B,8] child table
+        # blows the 1 MB SMEM at ~2k clusters — cs32 on the 98k field is
+        # 3064).  One dynamic (1,8) row load; (1,1) slices broadcast
+        # against the (1,R) packet like the SMEM scalars did.
+        b = aabb_ref[pl.ds(c, 1), :]
+        tx0 = (b[:, 0:1] - ox) * ix
+        tx1 = (b[:, 3:4] - ox) * ix
+        ty0 = (b[:, 1:2] - oy) * iy
+        ty1 = (b[:, 4:5] - oy) * iy
+        tz0 = (b[:, 2:3] - oz) * iz
+        tz1 = (b[:, 5:6] - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[:])
+
     def visit_super(pos, _):
         s = order_s[octant, pos]
 
@@ -305,7 +328,7 @@ def _cluster_kernel_hier(
             def visit_child(j, _):
                 c = s * branch + j
 
-                @pl.when(jnp.any(slab(aabb_ref, c)))
+                @pl.when(jnp.any(slab_child(c)))
                 def _():
                     # Padding children are far point boxes and never get
                     # here; clamp anyway so the VMEM read stays in bounds.
@@ -427,7 +450,10 @@ def intersect_clusters_pallas_hier(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # super aabbs
             pl.BlockSpec(memory_space=pltpu.SMEM),      # super orders
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # child aabbs
+            # Child aabbs in VMEM: SMEM pads each element to 64 B, so the
+            # [S*B,8] table overflows the 1 MB SMEM at ~2k clusters
+            # (cs32 on 98k tris = 3064 — measured compile OOM, round 4).
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # child aabbs
             pl.BlockSpec((8, r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (c, k, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
@@ -449,7 +475,11 @@ def intersect_clusters_pallas_hier(
             pltpu.VMEM((1, r), jnp.float32),
             pltpu.VMEM((1, r), jnp.float32),
         ],
-        compiler_params=_vmem_params(tris16.size * 4, r, k, vmem_headroom),
+        compiler_params=_vmem_params(
+            tris16.size * 4, r, k, vmem_headroom,
+            # child table lane-padded 8->128 in VMEM, x2 for staging
+            extra_bytes=aabbs_child.shape[0] * 128 * 4 * 2,
+        ),
         interpret=interpret,
     )(aabbs_super, order_super, aabbs_child, rays, tris16)
     return best_t[0, :n], best_prim[0, :n], best_uv[:, :n].T
@@ -574,7 +604,7 @@ def _occlusion_kernel(
 def _occlusion_kernel_hier(
     aabbs_s,     # SMEM [S,8] f32
     order_s,     # SMEM [8,S] i32
-    aabb_ref,    # SMEM [S*B,8] f32 (padding children are far point boxes)
+    aabb_ref,    # VMEM [S*B,8] f32 (padding children are far point boxes)
     rays_ref,    # VMEM (8,R) f32
     tris_ref,    # VMEM [C,K,16] f32
     occ_ref,     # VMEM out (1,R) i32
@@ -634,6 +664,27 @@ def _occlusion_kernel_hier(
         )
         return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
 
+    def slab_child(c, live):
+        # VMEM child bounds (same SMEM-capacity argument as the
+        # closest-hit hier kernel): one dynamic (1,8) row load, (1,1)
+        # slices broadcast against the (1,R) packet.
+        b = aabb_ref[pl.ds(c, 1), :]
+        tx0 = (b[:, 0:1] - ox) * ix
+        tx1 = (b[:, 3:4] - ox) * ix
+        ty0 = (b[:, 1:2] - oy) * iy
+        ty1 = (b[:, 4:5] - oy) * iy
+        tz0 = (b[:, 2:3] - oz) * iz
+        tz1 = (b[:, 5:6] - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
+
     def cond(state):
         pos, all_occ = state
         return (pos < num_supers) & (all_occ == 0)
@@ -648,7 +699,7 @@ def _occlusion_kernel_hier(
             def child(j, _):
                 c = s * branch + j
 
-                @pl.when(jnp.any(slab(aabb_ref, c, occ_acc[:] == 0)))
+                @pl.when(jnp.any(slab_child(c, occ_acc[:] == 0)))
                 def _():
                     tri = tris_ref[jnp.minimum(c, num_clusters - 1)]
                     v0x = tri[:, 0:1]
@@ -747,7 +798,7 @@ def occluded_clusters_pallas_hier(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # child aabbs (SMEM cap)
             pl.BlockSpec((8, r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (c, k, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
@@ -758,7 +809,10 @@ def occluded_clusters_pallas_hier(
         ],
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((1, r), jnp.int32)],
-        compiler_params=_vmem_params(tris16.size * 4, r, k, vmem_headroom),
+        compiler_params=_vmem_params(
+            tris16.size * 4, r, k, vmem_headroom,
+            extra_bytes=aabbs_child.shape[0] * 128 * 4 * 2,
+        ),
         interpret=interpret,
     )(aabbs_super, order_super, aabbs_child, rays, tris16)[0]
     return occ[0, :n] > 0
