@@ -33,9 +33,24 @@ from tpu_pathtracer.config import RenderConfig
 from tpu_pathtracer.render.integrator import render_pixels
 
 try:  # jax>=0.5 exposes shard_map at top level
-    shard_map = jax.shard_map
+    _shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(*args, **kw):
+    """shard_map with varying-manual-axes checking off.
+
+    The render worker calls pallas_call, whose out_shape avals carry no
+    `vma` annotation — under jax's check_vma=True (the default since the
+    vma rework) that is a hard error inside shard_map on TPU.  The
+    sharding here is embarrassingly parallel (per-pixel / per-sample
+    partitions, one pmean), so the check buys nothing; disable it, and
+    fall back silently on older jax without the kwarg."""
+    try:
+        return _shard_map(*args, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover — older jax: check_rep era
+        return _shard_map(*args, **kw)
 
 
 def initialize_distributed(**kw) -> None:
