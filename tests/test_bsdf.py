@@ -84,3 +84,36 @@ def test_ggx_pdf_positive():
     vdoth = jnp.asarray([0.5, 0.7])
     p = np.asarray(bsdf.ggx_pdf(d, ndoth, vdoth))
     assert np.all(p > 0)
+
+
+def test_ggx_delta_lobe_never_inf():
+    # Regression (round 4): at tiny alpha with n.h ~= 1, the NDF
+    # denominator ndoth^2*(a2-1)+1 can round to EXACTLY 0 in f32,
+    # making D = inf — and brdf_specular/ggx_pdf, whose D should
+    # cancel, evaluate inf/inf = NaN.  The base estimator masks such
+    # lanes (brdf-length check, reference cu:859) but the NEE light
+    # arm consumes brdf_combined unmasked, so the NaN reached radiance
+    # on the high-poly scene (artifacts/tpu_sweep_r04b.log sum=nan).
+    n = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    # Search a small grid of (alpha, ndoth) f32 values around the
+    # cancellation for denom == 0; d_ggx accepts unnormalised h, so
+    # ndoth is driven directly through h = ndoth * n.
+    found_zero = False
+    for rough in np.linspace(0.015, 0.05, 30, dtype=np.float32):
+        a2 = np.float32(rough * rough) * np.float32(rough * rough)
+        base = np.float32(np.sqrt(1.0 / (1.0 - float(a2))))
+        for k in range(-4, 5):
+            ndoth = np.float32(base) + np.float32(k) * np.spacing(base)
+            inner = np.float32(ndoth * ndoth) * np.float32(a2 - np.float32(1.0)) + np.float32(1.0)
+            if inner == 0.0:
+                found_zero = True
+            h = jnp.asarray([0.0, float(ndoth), 0.0], jnp.float32)
+            alpha = jnp.float32(rough * rough)
+            d = bsdf.d_ggx(n, h, alpha)
+            spdf = bsdf.ggx_pdf(d, jnp.maximum(jnp.float32(ndoth), 1e-10), jnp.float32(1.0))
+            ratio = d / jnp.maximum(spdf, 1e-20)
+            assert np.isfinite(float(d)), (rough, float(ndoth))
+            assert np.isfinite(float(ratio)), (rough, float(ndoth))
+    # The grid must actually hit the exact-zero cancellation, otherwise
+    # this test is vacuous.
+    assert found_zero

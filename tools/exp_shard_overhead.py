@@ -84,16 +84,23 @@ def main():
         lambda k: render_frame_sharded(scene, cam, cfg, k, mesh, mode="samples"),
         "sharded-samples",
     )
+    # The single arm AGAIN at the end: the first measurement of the
+    # process ran 22% slower than the sharded arms in the r04b sweep —
+    # if single2 matches the sharded times, that delta was process/tunnel
+    # warm-up order effect, not sharding being faster.
+    t_single2 = timed(lambda k: render_frame(scene, cam, cfg, k + 16), "single2")
+    base = min(t_single, t_single2)
     print(json.dumps({
         "size": args.size, "spp": args.spp, "depth": args.depth,
         "s_per_launch": {
             "single": round(t_single, 4),
             "sharded_pixels_1dev": round(t_pix, 4),
             "sharded_samples_1dev": round(t_smp, 4),
+            "single_again": round(t_single2, 4),
         },
         "overhead_pct": {
-            "pixels": round(100 * (t_pix / t_single - 1), 2),
-            "samples": round(100 * (t_smp / t_single - 1), 2),
+            "pixels": round(100 * (t_pix / base - 1), 2),
+            "samples": round(100 * (t_smp / base - 1), 2),
         },
     }))
 

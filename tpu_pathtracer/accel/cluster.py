@@ -89,9 +89,12 @@ class ClusterAccel:
         bits = cfg.sort_spatial_bits
         if bits == 0:   # auto: finer cells for compact scenes
             bits = 7 if self.num_clusters < 256 else 5
-        # sort_dir_bits: -1/0 -> no refinement ("auto" currently resolves
-        # to off pending the TPU A/B — docs/perf_notes.md round 3).
-        db = max(cfg.sort_dir_bits, 0)
+        # sort_dir_bits auto (0): 2 bits, from the round-4 TPU A/B
+        # (artifacts/tpu_sweep_r04.log): monkey 3.233 -> 2.974 (-8%),
+        # 98k field -11%, hero within day noise (2.17 vs 2.22) — the
+        # frustum-wedge refinement pays wherever the scalar cluster
+        # visit count matters and never measurably hurts.  -1 = off.
+        db = 2 if cfg.sort_dir_bits == 0 else max(cfg.sort_dir_bits, 0)
         return octant_sort(
             origins,
             directions,

@@ -170,8 +170,9 @@ class RenderConfig:
     # directions; quantising |d| groups them into tight frustum wedges
     # (host-sim: suitcase primary packets 13.4 -> 8.4 MT cluster visits
     # at 2 bits, monkey 18.6 -> 11.1) while bounce packets barely move.
-    # 0 = auto (resolved per scene after TPU measurement — see
-    # docs/perf_notes.md); -1 = off.  Clamped so the key fits u32.
+    # 0 = auto -> 2 bits (round-4 TPU A/B: monkey -8%, 98k field -11%,
+    # hero within day noise — perf_notes round 4); -1 = off.  Clamped
+    # so the key fits u32.
     sort_dir_bits: int = 0
     # Deferred (hit-compacted) shading: instead of running the closest-hit
     # program on every lane (miss lanes pay the texture-bundle gather and
@@ -199,7 +200,10 @@ class RenderConfig:
     # super test skips `super_branch` clusters at a time (766-cluster
     # sphere field: 10.5 -> 8.2 s/launch on v5e).  Also the pivot for
     # auto rays_per_tile (512 on hier scenes, 1024 on flat ones).
-    hier_min_clusters: int = 192
+    # 96: round-4 TPU A/B — the 124-cluster monkey wins -9% routed hier
+    # (2.704 vs 2.974 s/launch at dir_bits 2); the 70-cluster hero
+    # still routes flat, where cs32+hier measured a loss.
+    hier_min_clusters: int = 96
     # Multiplier on the Pallas kernels' modeled scoped-VMEM budget
     # (ops/intersect_pallas._vmem_params).  The model's "8x scene bytes"
     # Mosaic-staging multiplier is a fit to measured compiles on one

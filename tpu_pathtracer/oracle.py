@@ -346,7 +346,9 @@ def _shade(sc: OracleScene, cfg, prim, t_hit, beta, gamma, o, d, seed, depth):
     ndoth = F(max(normal @ half, 1e-10))
     a2 = alpha * alpha
     denom_d = ndoth * ndoth * (a2 - 1) + 1
-    d_term = F(a2 / (np.pi * denom_d * denom_d))
+    # Same f32 inf-guard as bsdf.d_ggx: the inner term can round to
+    # exactly 0 at tiny alpha with ndoth ~= 1.
+    d_term = F(a2 / max(np.pi * denom_d * denom_d, 1e-12))
 
     def g1(x):
         ndotx = abs(float(normal @ x))
@@ -515,7 +517,9 @@ def render_pixel(sc: OracleScene, cam, cfg, pixel: int, subframe: int) -> np.nda
                             ndoth_l = F(max(float(sh["normal"] @ h_l), 1e-10))
                             a2l = F(sh["alpha"] * sh["alpha"])
                             dd_l = F(ndoth_l * ndoth_l * (a2l - 1) + 1)
-                            d_term_l = F(a2l / (np.pi * dd_l * dd_l))
+                            d_term_l = F(
+                                a2l / max(np.pi * dd_l * dd_l, 1e-12)
+                            )
                             k_l = F(sh["alpha"] / 2)
 
                             def g1_l(x):

@@ -19,7 +19,16 @@ def d_ggx(n: jnp.ndarray, h: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     ndoth2 = ndoth * ndoth
     denom = ndoth2 * (a2 - 1.0) + 1.0
     denom = jnp.pi * denom * denom
-    return a2 / denom
+    # f32 guard: at tiny alpha with ndoth ~= 1 the inner term can round
+    # to exactly 0, making D = inf and downstream ratios that should
+    # cancel D (brdf_specular / ggx_pdf) evaluate as inf/inf = NaN.  The
+    # base estimator masks those lanes via its brdf-length check
+    # (reference cu:859) but the NEE light-sample arm consumes
+    # brdf_combined directly, so the NaN leaked into radiance (seen as
+    # sum=nan on the high-poly scene, artifacts/tpu_sweep_r04b.log).
+    # Clamping only moves lanes whose denom < 1e-12 — exactly the ones
+    # that previously produced inf/NaN.
+    return a2 / jnp.maximum(denom, 1e-12)
 
 
 def g_schlick_ggx(alpha: jnp.ndarray, n: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
