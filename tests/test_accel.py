@@ -73,3 +73,36 @@ def test_accel_render_matches_brute(scene):
     cfg_c = cfg_b.replace(intersector="cluster")
     img_c = np.asarray(render_frame(sc, cam, cfg_c, jnp.int32(0)))
     np.testing.assert_array_equal(img_c, img_b)
+
+
+def test_auto_dir_bits_pivot():
+    # sort_dir_bits=0 (auto) resolves by cluster count: d2 for compact
+    # scenes, d3 where the finer frustum wedges measured faster
+    # (round-4 sweep C, artifacts/tpu_sweep_r04c.log).
+    class _C:  # minimal stand-in: only num_clusters is consulted
+        def __init__(self, n):
+            self.num_clusters = n
+
+    from tpu_pathtracer.accel.cluster import ClusterAccel
+
+    cfg_auto = RenderConfig(sort_dir_bits=0)
+    assert ClusterAccel._dir_bits(_C(64), cfg_auto) == 2
+    assert ClusterAccel._dir_bits(_C(256), cfg_auto) == 3
+    # explicit values pass through; -1 means off (0 bits)
+    assert ClusterAccel._dir_bits(_C(64), RenderConfig(sort_dir_bits=4)) == 4
+    assert ClusterAccel._dir_bits(_C(999), RenderConfig(sort_dir_bits=-1)) == 0
+
+
+def test_auto_stream_lanes():
+    from tpu_pathtracer.render.integrator import resolve_stream_lanes
+
+    cfg = RenderConfig(stream_lanes=0)
+    # 1080p -> 2073600/16 = 129600 -> nearest pow2 = 131072
+    assert resolve_stream_lanes(cfg, 1920 * 1080) == 131072
+    # 512x512 -> 262144/16 = 16384 exactly
+    assert resolve_stream_lanes(cfg, 512 * 512) == 16384
+    # tiny frames clamp to the floor; huge frames to the ceiling
+    assert resolve_stream_lanes(cfg, 64 * 64) == 16384
+    assert resolve_stream_lanes(cfg, 8192 * 8192) == 131072
+    # explicit setting passes through untouched
+    assert resolve_stream_lanes(RenderConfig(stream_lanes=777), 10**6) == 777

@@ -83,18 +83,27 @@ class ClusterAccel:
         # 512 vs 8.2 at 1024); flat-kernel scenes prefer 1024.
         return 512 if self.num_clusters >= cfg.hier_min_clusters else 1024
 
+    def _dir_bits(self, cfg) -> int:
+        """Resolve cfg.sort_dir_bits for this scene.
+
+        auto (0): 2 bits from the round-4 TPU A/B (artifacts/
+        tpu_sweep_r04.log: monkey 3.233 -> 2.974 (-8%), hero within day
+        noise) — EXCEPT many-cluster scenes, where the finer d3 wedges
+        keep paying (98k field, sweep C: d3 6.910 vs d2 7.18-8.10
+        s/launch; monkey at 124 clusters measured d3 2.843 vs d2 2.704,
+        so the pivot sits between 124 and 766 — 256 splits it along the
+        same boundary as the spatial-bits auto).  -1 = off."""
+        if cfg.sort_dir_bits == 0:
+            return 3 if self.num_clusters >= 256 else 2
+        return max(cfg.sort_dir_bits, 0)
+
     def _sorted_rays(self, mode, origins, directions, cfg):
         from tpu_pathtracer.ops.intersect_pallas import octant_sort
 
         bits = cfg.sort_spatial_bits
         if bits == 0:   # auto: finer cells for compact scenes
             bits = 7 if self.num_clusters < 256 else 5
-        # sort_dir_bits auto (0): 2 bits, from the round-4 TPU A/B
-        # (artifacts/tpu_sweep_r04.log): monkey 3.233 -> 2.974 (-8%),
-        # 98k field -11%, hero within day noise (2.17 vs 2.22) — the
-        # frustum-wedge refinement pays wherever the scalar cluster
-        # visit count matters and never measurably hurts.  -1 = off.
-        db = 2 if cfg.sort_dir_bits == 0 else max(cfg.sort_dir_bits, 0)
+        db = self._dir_bits(cfg)
         return octant_sort(
             origins,
             directions,

@@ -63,11 +63,15 @@ class RenderConfig:
     regenerate: bool = True
     # Lane-pool size for the streaming work-queue renderer (big launches
     # stream all pixels through this many persistent lanes; the straggler
-    # tail is paid once per frame instead of once per tile).  131072
-    # measured fastest on v5e at 1080p (smaller pools amortize the
-    # table-size-bound output scatter over less work; larger pools thrash
-    # the texture-gather locality).
-    stream_lanes: int = 131072
+    # tail is paid once per frame instead of once per tile).  0 = auto:
+    # nearest power of two to n_pix/16, clamped to [16384, 131072] —
+    # the pool should scale with the frame, because the queue's drain
+    # tail costs one pool's worth of partially-idle iterations per frame.
+    # Measured (v5e): 1080p (2.07M px) fastest at 131072; 512x512
+    # (0.26M px) fastest at 16384 (6.37 vs 4.15 Mrays/s at 131072 —
+    # round-4 sweeps B/D, artifacts/tpu_sweep_r04d.log).  Both are
+    # n_pix/16 rounded to a power of two.
+    stream_lanes: int = 0
 
     # Pixel hand-out order for the streaming renderer.  "auto" = scanline:
     # "tiled" (consecutive lanes cover a 16x8 pixel block; requires
@@ -306,6 +310,10 @@ class RenderConfig:
             # a single-cluster scene has nothing to skip.
             raise ValueError(
                 f"hier_min_clusters must be >= 2: {self.hier_min_clusters}"
+            )
+        if self.stream_lanes < 0:
+            raise ValueError(
+                f"stream_lanes must be >= 0 (0 = auto): {self.stream_lanes}"
             )
         if self.fifo_depth < 1:
             # fifo_depth=0 would silently drop every retired pixel (the

@@ -46,10 +46,19 @@ def shard_map(*args, **kw):
     vma rework) that is a hard error inside shard_map on TPU.  The
     sharding here is embarrassingly parallel (per-pixel / per-sample
     partitions, one pmean), so the check buys nothing; disable it, and
-    fall back silently on older jax without the kwarg."""
+    fall back on older jax without the kwarg.
+
+    NOTE for new shard_map users in this package: every sharded path
+    routed through this wrapper inherits the disabled check — a wrong
+    out_spec/replication claim will NOT error here; cover new paths with
+    a bitwise sharded-vs-single test (tests/test_parallel.py pattern)."""
     try:
         return _shard_map(*args, check_vma=False, **kw)
-    except TypeError:  # pragma: no cover — older jax: check_rep era
+    except TypeError as e:  # pragma: no cover — older jax: check_rep era
+        # Only swallow the one expected failure (the kwarg not existing);
+        # a TypeError from the caller's own signature must propagate.
+        if "check_vma" not in str(e):
+            raise
         return _shard_map(*args, **kw)
 
 

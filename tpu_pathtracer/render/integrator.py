@@ -990,6 +990,24 @@ def render_pixels_regen(
     return out
 
 
+def resolve_stream_lanes(cfg: RenderConfig, n_pix: int) -> int:
+    """cfg.stream_lanes, with 0 = auto: the nearest power of two to
+    n_pix/16, clamped to [16384, 131072].
+
+    The pool should scale with the frame: the work queue's drain tail
+    costs roughly one pool of partially-idle iterations per frame, so an
+    oversized pool on a small frame pays a tail it cannot amortise.
+    Measured on v5e (round-4 sweeps B/D): 1080p fastest at 131072,
+    512x512 fastest at 16384 — both n_pix/16 rounded to a power of two."""
+    if cfg.stream_lanes:
+        return cfg.stream_lanes
+    target = max(1, n_pix // 16)
+    lanes = 1 << max(0, target.bit_length() - 1)   # pow2 floor
+    if target - lanes > 2 * lanes - target:        # round to NEAREST pow2
+        lanes *= 2
+    return min(131072, max(16384, lanes))
+
+
 def _tiled_order(cfg: RenderConfig) -> bool:
     """Whether the stream renderer hands out pixels in 16x8 blocks.
 
@@ -1287,10 +1305,11 @@ def render_pixels(
     )
 
     if cfg.regenerate and spp > 1:
-        if n_pix > cfg.stream_lanes:
+        lanes = resolve_stream_lanes(cfg, n_pix)
+        if n_pix > lanes:
             return render_pixels_stream(
                 scene, cam, cfg, pixel_ids, subframe, sample_offset, spp,
-                cfg.stream_lanes, return_stats=return_stats,
+                lanes, return_stats=return_stats,
             )
         if pixel_ids is None:
             pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
