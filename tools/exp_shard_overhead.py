@@ -89,7 +89,10 @@ def main():
     # if single2 matches the sharded times, that delta was process/tunnel
     # warm-up order effect, not sharding being faster.
     t_single2 = timed(lambda k: render_frame(scene, cam, cfg, k + 16), "single2")
-    base = min(t_single, t_single2)
+    # Overhead is reported against EACH single arm separately: min() of two
+    # noisy baselines biases the estimate downward (can even go negative on
+    # baseline noise alone), and keeping both arms distinguishable is what
+    # makes the warm-up order-effect diagnostic readable (advisor r4).
     print(json.dumps({
         "size": args.size, "spp": args.spp, "depth": args.depth,
         "s_per_launch": {
@@ -98,9 +101,14 @@ def main():
             "sharded_samples_1dev": round(t_smp, 4),
             "single_again": round(t_single2, 4),
         },
-        "overhead_pct": {
-            "pixels": round(100 * (t_pix / base - 1), 2),
-            "samples": round(100 * (t_smp / base - 1), 2),
+        "overhead_pct_vs_single": {
+            "pixels": round(100 * (t_pix / t_single - 1), 2),
+            "samples": round(100 * (t_smp / t_single - 1), 2),
+        },
+        # single2 ran last = fully warmed; treat as the primary estimate.
+        "overhead_pct_vs_single2": {
+            "pixels": round(100 * (t_pix / t_single2 - 1), 2),
+            "samples": round(100 * (t_smp / t_single2 - 1), 2),
         },
     }))
 

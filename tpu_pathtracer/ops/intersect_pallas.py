@@ -40,6 +40,142 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG_PRIM = np.int32(0x7FFFFFFF)
 
 
+# ---------------------------------------------------------------------------
+# Shared kernel-body helpers.  Every traversal kernel (flat/hier/streamed x
+# closest-hit/any-hit) is the same three primitives composed differently;
+# keeping them in ONE place stops the tnear/tfar/t_min gating and the MT
+# epsilon conventions from drifting between copies (advisor r4).  All are
+# traced inline by Pallas — zero call overhead in the compiled kernel.
+# ---------------------------------------------------------------------------
+
+
+def _packet_rays(ox, oy, oz, dx, dy, dz):
+    """Packet-ray tuple: origin/direction (1,R) rows plus guarded inverse
+    directions (|d| <= 1e-12 -> huge, so degenerate slabs cull cleanly)."""
+    big = jnp.float32(3.4e38)
+    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+    return ox, oy, oz, dx, dy, dz, ix, iy, iz
+
+
+def _octant_of(dxs, dys, dzs):
+    """Packet octant from one representative ray's direction scalars.
+
+    Input rays are octant-sorted, so packets are near-uniform; a mixed
+    boundary packet only loses ordering quality, never correctness."""
+    return (
+        (dxs > 0.0).astype(jnp.int32)
+        + 2 * (dys > 0.0).astype(jnp.int32)
+        + 4 * (dzs > 0.0).astype(jnp.int32)
+    )
+
+
+def _bounds_scalar(ref, idx):
+    """Six AABB bound scalars from an SMEM [*,8] row."""
+    return (ref[idx, 0], ref[idx, 1], ref[idx, 2],
+            ref[idx, 3], ref[idx, 4], ref[idx, 5])
+
+
+def _bounds_vmem_row(ref, c):
+    """Six (1,1) slices from a dynamic VMEM [*,8] row load; they broadcast
+    against the (1,R) packet exactly like SMEM scalars do.  (SMEM pads each
+    element to 64 B, so large child-bound tables must live in VMEM — the
+    [S*B,8] table blows the 1 MB SMEM at ~2k clusters, round 4.)"""
+    b = ref[pl.ds(c, 1), :]
+    return (b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4], b[:, 4:5], b[:, 5:6])
+
+
+def _slab_hits(bounds, pr, t_min, t_limit):
+    """Packet slab test vs one AABB: (1,R) bool.
+
+    `t_limit` gates the near plane — the per-lane running best-t for
+    closest-hit kernels (closed lanes shrink the packet) or the scalar
+    t_max for any-hit.  Callers AND any extra live predicate (e.g. the
+    occlusion kernels' `occ == 0`)."""
+    bminx, bminy, bminz, bmaxx, bmaxy, bmaxz = bounds
+    ox, oy, oz, _, _, _, ix, iy, iz = pr
+    tx0 = (bminx - ox) * ix
+    tx1 = (bmaxx - ox) * ix
+    ty0 = (bminy - oy) * iy
+    ty1 = (bmaxy - oy) * iy
+    tz0 = (bminz - oz) * iz
+    tz1 = (bmaxz - oz) * iz
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_limit)
+
+
+def _mt_tests(tri, pr, t_min, t_max):
+    """Component-unrolled Möller–Trumbore of one (K,16) cluster against the
+    (1,R) packet.  Returns (tc, u, v): (K,R) arrays, tc = candidate
+    distance with +inf where the test failed (tc < inf <=> valid hit).
+
+    Orientation is the whole ballgame on TPU: rays live on the LANE axis
+    ((1,R) rows), triangles on the SUBLANE axis ((K,1) columns), so every
+    intermediate is a well-tiled (K,R) array — the transposed formulation
+    measured 3x slower under Mosaic (round 1)."""
+    ox, oy, oz, dx, dy, dz, _, _, _ = pr
+    v0x = tri[:, 0:1]
+    v0y = tri[:, 1:2]
+    v0z = tri[:, 2:3]
+    e1x = tri[:, 3:4]
+    e1y = tri[:, 4:5]
+    e1z = tri[:, 5:6]
+    e2x = tri[:, 6:7]
+    e2y = tri[:, 7:8]
+    e2z = tri[:, 8:9]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return jnp.where(ok, t, jnp.float32(jnp.inf)), u, v
+
+
+def _mt_best(tc, u, v, c, cluster_k):
+    """Reduce one cluster's (K,R) candidates to per-lane winners: (1,R)
+    rows (t, prim, u, v).  Prim ties resolve to the lowest global id, and
+    the winner's barycentrics come off the SAME lane — so callers never
+    need a host-side vertices[prim] finalize gather (~20 ns each, ~5 ms
+    per 256k-lane bounce)."""
+    t_blk = jnp.min(tc, axis=0, keepdims=True)                    # (1,R)
+    gid = c * cluster_k + jax.lax.broadcasted_iota(jnp.int32, tc.shape, 0)
+    prim_blk = jnp.min(
+        jnp.where(tc == t_blk, gid, _BIG_PRIM), axis=0, keepdims=True
+    )
+    win = gid == prim_blk
+    u_blk = jnp.min(jnp.where(win, u, jnp.float32(jnp.inf)),
+                    axis=0, keepdims=True)
+    v_blk = jnp.min(jnp.where(win, v, jnp.float32(jnp.inf)),
+                    axis=0, keepdims=True)
+    return t_blk, prim_blk, u_blk, v_blk
+
+
 def _vmem_params(scene_bytes: int, rays_per_tile: int, cluster_k: int,
                  headroom: float = 1.0, extra_bytes: int = 0):
     """CompilerParams with an explicit scoped-VMEM budget when the kernel
@@ -96,119 +232,29 @@ def _cluster_kernel(
     t_min: float,
     t_max: float,
 ):
-    # Orientation is the whole ballgame on TPU: rays live on the LANE axis
-    # ((1,R) rows), triangles on the SUBLANE axis ((K,1) columns), so every
-    # Möller–Trumbore intermediate is a well-tiled (K,R) array.  The
-    # transposed (R,K) formulation with rays in sublanes measured 3x
-    # slower under Mosaic (broadcasts of (R,1) over lanes).
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-
-    big = jnp.float32(3.4e38)
-    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
-    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
-    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+    pr = _packet_rays(
+        rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],
+        rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :],
+    )
 
     t_acc[:] = jnp.full_like(t_acc, t_max)
     p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
     u_acc[:] = jnp.zeros_like(u_acc)
     v_acc[:] = jnp.zeros_like(v_acc)
 
-    # Packet octant from lane 0 (input rays are octant-sorted, so packets
-    # are near-uniform; a mixed boundary packet only loses ordering
-    # quality, never correctness).  Visiting clusters front-to-back makes
-    # the (tnear <= best_t) slab condition cull everything behind the
-    # packet's first hits.
-    octant = (
-        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
-        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
-        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
-    )
+    # Visiting clusters front-to-back (per packet octant) makes the
+    # (tnear <= best_t) slab condition cull everything behind the packet's
+    # first hits.
+    octant = _octant_of(rays_ref[3, 0], rays_ref[4, 0], rays_ref[5, 0])
 
     def visit(pos, _):
         c = order_ref[octant, pos]
-        # ---- packet slab test against cluster AABB (scalar-broadcast) --
-        bminx = aabb_ref[c, 0]
-        bminy = aabb_ref[c, 1]
-        bminz = aabb_ref[c, 2]
-        bmaxx = aabb_ref[c, 3]
-        bmaxy = aabb_ref[c, 4]
-        bmaxz = aabb_ref[c, 5]
-
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        best_t = t_acc[:]
-        overlap = (tnear <= tfar) & (tfar >= t_min) & (tnear <= best_t)
+        overlap = _slab_hits(_bounds_scalar(aabb_ref, c), pr, t_min, t_acc[:])
 
         @pl.when(jnp.any(overlap))
         def _():
-            tri = tris_ref[c]                          # (K,16)
-            v0x = tri[:, 0:1]
-            v0y = tri[:, 1:2]
-            v0z = tri[:, 2:3]
-            e1x = tri[:, 3:4]
-            e1y = tri[:, 4:5]
-            e1z = tri[:, 5:6]
-            e2x = tri[:, 6:7]
-            e2y = tri[:, 7:8]
-            e2z = tri[:, 8:9]
-
-            # Component-unrolled Möller–Trumbore over the (K,R) pair grid.
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > t_min)
-                & (t < t_max)
-            )
-            tc = jnp.where(ok, t, jnp.float32(jnp.inf))
-            t_blk = jnp.min(tc, axis=0, keepdims=True)          # (1,R)
-            gid = c * cluster_k + jax.lax.broadcasted_iota(
-                jnp.int32, tc.shape, 0
-            )
-            prim_blk = jnp.min(
-                jnp.where(tc == t_blk, gid, _BIG_PRIM), axis=0, keepdims=True
-            )
-            # Winner's barycentrics, selected off the SAME lane as prim_blk
-            # (ties resolved identically), so no host-side finalize gather
-            # is needed — vertices[prim] per-lane gathers measured ~20 ns
-            # each, ~5 ms per 256k-lane bounce.
-            win = gid == prim_blk
-            u_blk = jnp.min(jnp.where(win, u, jnp.float32(jnp.inf)),
-                            axis=0, keepdims=True)
-            v_blk = jnp.min(jnp.where(win, v, jnp.float32(jnp.inf)),
-                            axis=0, keepdims=True)
+            tc, u, v = _mt_tests(tris_ref[c], pr, t_min, t_max)
+            t_blk, prim_blk, u_blk, v_blk = _mt_best(tc, u, v, c, cluster_k)
             best = t_acc[:]
             improved = t_blk < best
             t_acc[:] = jnp.where(improved, t_blk, best)
@@ -251,137 +297,38 @@ def _cluster_kernel_hier(
     is dominated by per-cluster scalar loop overhead (SMEM reads +
     branch), not triangle math — the top level cuts visited iterations
     ~branch-fold for packets that cull well (sorted packets do)."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-
-    big = jnp.float32(3.4e38)
-    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
-    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
-    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+    pr = _packet_rays(
+        rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],
+        rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :],
+    )
 
     t_acc[:] = jnp.full_like(t_acc, t_max)
     p_acc[:] = jnp.full_like(p_acc, _BIG_PRIM)
     u_acc[:] = jnp.zeros_like(u_acc)
     v_acc[:] = jnp.zeros_like(v_acc)
 
-    octant = (
-        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
-        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
-        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
-    )
-
-    def slab(ref, idx):
-        bminx = ref[idx, 0]
-        bminy = ref[idx, 1]
-        bminz = ref[idx, 2]
-        bmaxx = ref[idx, 3]
-        bmaxy = ref[idx, 4]
-        bmaxz = ref[idx, 5]
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[:])
-
-    def slab_child(c):
-        # Child bounds live in VMEM (SMEM holds only the S supercluster
-        # rows: at 64 B/element of padded SMEM the [S*B,8] child table
-        # blows the 1 MB SMEM at ~2k clusters — cs32 on the 98k field is
-        # 3064).  One dynamic (1,8) row load; (1,1) slices broadcast
-        # against the (1,R) packet like the SMEM scalars did.
-        b = aabb_ref[pl.ds(c, 1), :]
-        tx0 = (b[:, 0:1] - ox) * ix
-        tx1 = (b[:, 3:4] - ox) * ix
-        ty0 = (b[:, 1:2] - oy) * iy
-        ty1 = (b[:, 4:5] - oy) * iy
-        tz0 = (b[:, 2:3] - oz) * iz
-        tz1 = (b[:, 5:6] - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[:])
+    octant = _octant_of(rays_ref[3, 0], rays_ref[4, 0], rays_ref[5, 0])
 
     def visit_super(pos, _):
         s = order_s[octant, pos]
 
-        @pl.when(jnp.any(slab(aabbs_s, s)))
+        @pl.when(jnp.any(_slab_hits(_bounds_scalar(aabbs_s, s), pr,
+                                    t_min, t_acc[:])))
         def _():
             def visit_child(j, _):
                 c = s * branch + j
 
-                @pl.when(jnp.any(slab_child(c)))
+                @pl.when(jnp.any(_slab_hits(_bounds_vmem_row(aabb_ref, c),
+                                            pr, t_min, t_acc[:])))
                 def _():
                     # Padding children are far point boxes and never get
                     # here; clamp anyway so the VMEM read stays in bounds.
-                    tri = tris_ref[jnp.minimum(c, num_clusters - 1)]  # (K,16)
-                    v0x = tri[:, 0:1]
-                    v0y = tri[:, 1:2]
-                    v0z = tri[:, 2:3]
-                    e1x = tri[:, 3:4]
-                    e1y = tri[:, 4:5]
-                    e1z = tri[:, 5:6]
-                    e2x = tri[:, 6:7]
-                    e2y = tri[:, 7:8]
-                    e2z = tri[:, 8:9]
-
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (jnp.abs(det) > 1e-12)
-                        & (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (t > t_min)
-                        & (t < t_max)
+                    tc, u, v = _mt_tests(
+                        tris_ref[jnp.minimum(c, num_clusters - 1)],
+                        pr, t_min, t_max,
                     )
-                    tc = jnp.where(ok, t, jnp.float32(jnp.inf))
-                    t_blk = jnp.min(tc, axis=0, keepdims=True)
-                    gid = c * cluster_k + jax.lax.broadcasted_iota(
-                        jnp.int32, tc.shape, 0
-                    )
-                    prim_blk = jnp.min(
-                        jnp.where(tc == t_blk, gid, _BIG_PRIM),
-                        axis=0, keepdims=True,
-                    )
-                    win = gid == prim_blk
-                    u_blk = jnp.min(
-                        jnp.where(win, u, jnp.float32(jnp.inf)),
-                        axis=0, keepdims=True,
-                    )
-                    v_blk = jnp.min(
-                        jnp.where(win, v, jnp.float32(jnp.inf)),
-                        axis=0, keepdims=True,
+                    t_blk, prim_blk, u_blk, v_blk = _mt_best(
+                        tc, u, v, c, cluster_k
                     )
                     best = t_acc[:]
                     improved = t_blk < best
@@ -505,25 +452,14 @@ def _occlusion_kernel(
     tracking, and the cluster loop EARLY-EXITS once every ray in the
     packet is occluded (a per-packet scalar `while`, which XLA's batch
     lax.cond cannot express)."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-
-    big = jnp.float32(3.4e38)
-    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
-    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
-    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+    pr = _packet_rays(
+        rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],
+        rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :],
+    )
 
     occ_acc[:] = jnp.zeros_like(occ_acc)
 
-    octant = (
-        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
-        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
-        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
-    )
+    octant = _octant_of(rays_ref[3, 0], rays_ref[4, 0], rays_ref[5, 0])
 
     def cond(state):
         pos, all_occ = state
@@ -532,66 +468,14 @@ def _occlusion_kernel(
     def visit(state):
         pos, _ = state
         c = order_ref[octant, pos]
-        bminx = aabb_ref[c, 0]
-        bminy = aabb_ref[c, 1]
-        bminz = aabb_ref[c, 2]
-        bmaxx = aabb_ref[c, 3]
-        bmaxy = aabb_ref[c, 4]
-        bmaxz = aabb_ref[c, 5]
-
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        occ = occ_acc[:]
-        overlap = (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & (occ == 0)
+        overlap = _slab_hits(
+            _bounds_scalar(aabb_ref, c), pr, t_min, t_max
+        ) & (occ_acc[:] == 0)
 
         @pl.when(jnp.any(overlap))
         def _():
-            tri = tris_ref[c]                          # (K,16)
-            v0x = tri[:, 0:1]
-            v0y = tri[:, 1:2]
-            v0z = tri[:, 2:3]
-            e1x = tri[:, 3:4]
-            e1y = tri[:, 4:5]
-            e1z = tri[:, 5:6]
-            e2x = tri[:, 6:7]
-            e2y = tri[:, 7:8]
-            e2z = tri[:, 8:9]
-
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > t_min)
-                & (t < t_max)
-            )
-            hit_any = jnp.any(ok, axis=0, keepdims=True)   # (1,R)
+            tc, _u, _v = _mt_tests(tris_ref[c], pr, t_min, t_max)
+            hit_any = jnp.any(tc < jnp.inf, axis=0, keepdims=True)  # (1,R)
             occ_acc[:] = jnp.maximum(occ_acc[:], hit_any.astype(jnp.int32))
 
         all_occ = jnp.min(occ_acc[:]).astype(jnp.int32)
@@ -621,69 +505,14 @@ def _occlusion_kernel_hier(
     is occluded (same cost argument as _cluster_kernel_hier — NEE shadow
     rays on many-cluster scenes were paying per-cluster scalar loop
     overhead)."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-
-    big = jnp.float32(3.4e38)
-    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
-    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
-    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+    pr = _packet_rays(
+        rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],
+        rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :],
+    )
 
     occ_acc[:] = jnp.zeros_like(occ_acc)
 
-    octant = (
-        (rays_ref[3, 0] > 0.0).astype(jnp.int32)
-        + 2 * (rays_ref[4, 0] > 0.0).astype(jnp.int32)
-        + 4 * (rays_ref[5, 0] > 0.0).astype(jnp.int32)
-    )
-
-    def slab(ref, idx, live):
-        bminx = ref[idx, 0]
-        bminy = ref[idx, 1]
-        bminz = ref[idx, 2]
-        bmaxx = ref[idx, 3]
-        bmaxy = ref[idx, 4]
-        bmaxz = ref[idx, 5]
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
-
-    def slab_child(c, live):
-        # VMEM child bounds (same SMEM-capacity argument as the
-        # closest-hit hier kernel): one dynamic (1,8) row load, (1,1)
-        # slices broadcast against the (1,R) packet.
-        b = aabb_ref[pl.ds(c, 1), :]
-        tx0 = (b[:, 0:1] - ox) * ix
-        tx1 = (b[:, 3:4] - ox) * ix
-        ty0 = (b[:, 1:2] - oy) * iy
-        ty1 = (b[:, 4:5] - oy) * iy
-        tz0 = (b[:, 2:3] - oz) * iz
-        tz1 = (b[:, 5:6] - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
+    octant = _octant_of(rays_ref[3, 0], rays_ref[4, 0], rays_ref[5, 0])
 
     def cond(state):
         pos, all_occ = state
@@ -694,47 +523,22 @@ def _occlusion_kernel_hier(
         s = order_s[octant, pos]
         live = occ_acc[:] == 0
 
-        @pl.when(jnp.any(slab(aabbs_s, s, live)))
+        @pl.when(jnp.any(_slab_hits(_bounds_scalar(aabbs_s, s), pr,
+                                    t_min, t_max) & live))
         def _():
             def child(j, _):
                 c = s * branch + j
+                hit_c = _slab_hits(
+                    _bounds_vmem_row(aabb_ref, c), pr, t_min, t_max
+                ) & (occ_acc[:] == 0)
 
-                @pl.when(jnp.any(slab_child(c, occ_acc[:] == 0)))
+                @pl.when(jnp.any(hit_c))
                 def _():
-                    tri = tris_ref[jnp.minimum(c, num_clusters - 1)]
-                    v0x = tri[:, 0:1]
-                    v0y = tri[:, 1:2]
-                    v0z = tri[:, 2:3]
-                    e1x = tri[:, 3:4]
-                    e1y = tri[:, 4:5]
-                    e1z = tri[:, 5:6]
-                    e2x = tri[:, 6:7]
-                    e2y = tri[:, 7:8]
-                    e2z = tri[:, 8:9]
-
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (jnp.abs(det) > 1e-12)
-                        & (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (t > t_min)
-                        & (t < t_max)
+                    tc, _u, _v = _mt_tests(
+                        tris_ref[jnp.minimum(c, num_clusters - 1)],
+                        pr, t_min, t_max,
                     )
-                    hit_any = jnp.any(ok, axis=0, keepdims=True)
+                    hit_any = jnp.any(tc < jnp.inf, axis=0, keepdims=True)
                     occ_acc[:] = jnp.maximum(
                         occ_acc[:], hit_any.astype(jnp.int32)
                     )
@@ -966,18 +770,11 @@ def _cluster_kernel_streamed(
     supers_per_block = block_clusters // branch
     row = pl.ds(i, 1)
 
-    ox = rays_ref[0, 0:1, :]
-    oy = rays_ref[0, 1:2, :]
-    oz = rays_ref[0, 2:3, :]
-    dx = rays_ref[0, 3:4, :]
-    dy = rays_ref[0, 4:5, :]
-    dz = rays_ref[0, 5:6, :]
-    w = ox.shape[1]
-
-    big = jnp.float32(3.4e38)
-    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
-    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
-    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+    pr = _packet_rays(
+        rays_ref[0, 0:1, :], rays_ref[0, 1:2, :], rays_ref[0, 2:3, :],
+        rays_ref[0, 3:4, :], rays_ref[0, 4:5, :], rays_ref[0, 5:6, :],
+    )
+    w = pr[0].shape[1]
 
     @pl.when(j == 0)
     def _():
@@ -986,90 +783,24 @@ def _cluster_kernel_streamed(
         u_acc[row, :] = jnp.zeros((1, w), jnp.float32)
         v_acc[row, :] = jnp.zeros((1, w), jnp.float32)
 
-    def slab(ref, idx):
-        bminx = ref[idx, 0]
-        bminy = ref[idx, 1]
-        bminz = ref[idx, 2]
-        bmaxx = ref[idx, 3]
-        bmaxy = ref[idx, 4]
-        bmaxz = ref[idx, 5]
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_acc[row, :])
-
     def visit_super(g, _):
         s = j * supers_per_block + g
 
-        @pl.when(jnp.any(slab(aabbs_s, s)))
+        @pl.when(jnp.any(_slab_hits(_bounds_scalar(aabbs_s, s), pr,
+                                    t_min, t_acc[row, :])))
         def _():
             def child(jj, _):
                 local = g * branch + jj
                 c = j * block_clusters + local
+                hit_c = _slab_hits(
+                    _bounds_scalar(aabb_ref, c), pr, t_min, t_acc[row, :]
+                )
 
-                @pl.when(jnp.any(slab(aabb_ref, c)) & (c < num_clusters))
+                @pl.when(jnp.any(hit_c) & (c < num_clusters))
                 def _():
-                    tri = tris_ref[local]                  # (K,16)
-                    v0x = tri[:, 0:1]
-                    v0y = tri[:, 1:2]
-                    v0z = tri[:, 2:3]
-                    e1x = tri[:, 3:4]
-                    e1y = tri[:, 4:5]
-                    e1z = tri[:, 5:6]
-                    e2x = tri[:, 6:7]
-                    e2y = tri[:, 7:8]
-                    e2z = tri[:, 8:9]
-
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (jnp.abs(det) > 1e-12)
-                        & (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (t > t_min)
-                        & (t < t_max)
-                    )
-                    tc = jnp.where(ok, t, jnp.float32(jnp.inf))
-                    t_blk = jnp.min(tc, axis=0, keepdims=True)
-                    gid = c * cluster_k + jax.lax.broadcasted_iota(
-                        jnp.int32, tc.shape, 0
-                    )
-                    prim_blk = jnp.min(
-                        jnp.where(tc == t_blk, gid, _BIG_PRIM),
-                        axis=0, keepdims=True,
-                    )
-                    win = gid == prim_blk
-                    u_blk = jnp.min(
-                        jnp.where(win, u, jnp.float32(jnp.inf)),
-                        axis=0, keepdims=True,
-                    )
-                    v_blk = jnp.min(
-                        jnp.where(win, v, jnp.float32(jnp.inf)),
-                        axis=0, keepdims=True,
+                    tc, u, v = _mt_tests(tris_ref[local], pr, t_min, t_max)
+                    t_blk, prim_blk, u_blk, v_blk = _mt_best(
+                        tc, u, v, c, cluster_k
                     )
                     best = t_acc[row, :]
                     improved = t_blk < best
@@ -1215,98 +946,39 @@ def _occlusion_kernel_streamed(
     supers_per_block = block_clusters // branch
     row = pl.ds(i, 1)
 
-    ox = rays_ref[0, 0:1, :]
-    oy = rays_ref[0, 1:2, :]
-    oz = rays_ref[0, 2:3, :]
-    dx = rays_ref[0, 3:4, :]
-    dy = rays_ref[0, 4:5, :]
-    dz = rays_ref[0, 5:6, :]
-    w = ox.shape[1]
-
-    big = jnp.float32(3.4e38)
-    ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, big)
-    iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, big)
-    iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, big)
+    pr = _packet_rays(
+        rays_ref[0, 0:1, :], rays_ref[0, 1:2, :], rays_ref[0, 2:3, :],
+        rays_ref[0, 3:4, :], rays_ref[0, 4:5, :], rays_ref[0, 5:6, :],
+    )
+    w = pr[0].shape[1]
 
     @pl.when(j == 0)
     def _():
         occ_acc[row, :] = jnp.zeros((1, w), jnp.int32)
-
-    def slab(ref, idx, live):
-        bminx = ref[idx, 0]
-        bminy = ref[idx, 1]
-        bminz = ref[idx, 2]
-        bmaxx = ref[idx, 3]
-        bmaxy = ref[idx, 4]
-        bmaxz = ref[idx, 5]
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        return (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max) & live
 
     @pl.when(jnp.min(occ_acc[row, :]) == 0)
     def _():
         def visit_super(g, _):
             s = j * supers_per_block + g
 
-            @pl.when(jnp.any(slab(aabbs_s, s, occ_acc[row, :] == 0)))
+            @pl.when(jnp.any(
+                _slab_hits(_bounds_scalar(aabbs_s, s), pr, t_min, t_max)
+                & (occ_acc[row, :] == 0)
+            ))
             def _():
                 def child(jj, _):
                     local = g * branch + jj
                     c = j * block_clusters + local
+                    hit_c = _slab_hits(
+                        _bounds_scalar(aabb_ref, c), pr, t_min, t_max
+                    ) & (occ_acc[row, :] == 0)
 
-                    @pl.when(
-                        jnp.any(slab(aabb_ref, c, occ_acc[row, :] == 0))
-                        & (c < num_clusters)
-                    )
+                    @pl.when(jnp.any(hit_c) & (c < num_clusters))
                     def _():
-                        tri = tris_ref[local]
-                        v0x = tri[:, 0:1]
-                        v0y = tri[:, 1:2]
-                        v0z = tri[:, 2:3]
-                        e1x = tri[:, 3:4]
-                        e1y = tri[:, 4:5]
-                        e1z = tri[:, 5:6]
-                        e2x = tri[:, 6:7]
-                        e2y = tri[:, 7:8]
-                        e2z = tri[:, 8:9]
-
-                        px = dy * e2z - dz * e2y
-                        py = dz * e2x - dx * e2z
-                        pz = dx * e2y - dy * e2x
-                        det = e1x * px + e1y * py + e1z * pz
-                        inv_det = jnp.where(
-                            jnp.abs(det) > 1e-12, 1.0 / det, 0.0
+                        tc, _u, _v = _mt_tests(
+                            tris_ref[local], pr, t_min, t_max
                         )
-                        tx = ox - v0x
-                        ty = oy - v0y
-                        tz = oz - v0z
-                        u = (tx * px + ty * py + tz * pz) * inv_det
-                        qx = ty * e1z - tz * e1y
-                        qy = tz * e1x - tx * e1z
-                        qz = tx * e1y - ty * e1x
-                        v = (dx * qx + dy * qy + dz * qz) * inv_det
-                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                        ok = (
-                            (jnp.abs(det) > 1e-12)
-                            & (u >= 0.0)
-                            & (v >= 0.0)
-                            & (u + v <= 1.0)
-                            & (t > t_min)
-                            & (t < t_max)
-                        )
-                        hit_any = jnp.any(ok, axis=0, keepdims=True)
+                        hit_any = jnp.any(tc < jnp.inf, axis=0, keepdims=True)
                         occ_acc[row, :] = jnp.maximum(
                             occ_acc[row, :], hit_any.astype(jnp.int32)
                         )

@@ -53,6 +53,16 @@ window.onwheel=e=>fetch(`/zoom?f=${e.deltaY>0?1.1:0.9}`);
 window.onkeydown=e=>{if(e.key==='g'||e.key==='G')fetch('/toggle_dof');
  if(e.key==='d'||e.key==='D')fetch('/toggle_denoise');
  if(e.key==='r'||e.key==='R')fetch('/reset');};
+// Window resize re-renders at the new resolution (reference handleResize,
+// optixSphere.cpp:250-265: reallocate + reset on every GLFW resize).
+// Debounced so a drag-resize issues one reallocation, not dozens.
+let rszTimer=null,rszW=0,rszH=0;
+window.onresize=()=>{clearTimeout(rszTimer);rszTimer=setTimeout(()=>{
+ const s=window.devicePixelRatio||1;
+ const w=Math.max(8,Math.round(innerWidth*s/8)*8),
+       h=Math.max(8,Math.round(innerHeight*s/8)*8);
+ if(w===rszW&&h===rszH)return; rszW=w;rszH=h;
+ fetch(`/resize?w=${w}&h=${h}`);},300);};
 </script></body></html>"""
 
 
