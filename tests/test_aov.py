@@ -84,6 +84,7 @@ def test_denoise_constant_image_unchanged(aov):
     np.testing.assert_allclose(np.asarray(out), 0.7, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_denoise_reduces_variance_preserves_mean(aov):
     h, w = aov["depth"].shape
     rs = np.random.RandomState(0)
@@ -104,6 +105,7 @@ def test_denoise_reduces_variance_preserves_mean(aov):
     )
 
 
+@pytest.mark.slow
 def test_denoise_firefly_suppressed(aov):
     """An isolated high-energy outlier on a flat hit region is replaced
     by its neighbourhood, not smeared into a disk."""
@@ -118,6 +120,7 @@ def test_denoise_firefly_suppressed(aov):
     assert abs(out[hit].mean() - 0.3) < 0.05
 
 
+@pytest.mark.slow
 def test_denoise_improves_ssim_vs_converged(scene, cfg, aov):
     """End-to-end value check: a denoised 1-spp frame is closer (SSIM on
     the post-processed image) to a converged render than the raw 1-spp
@@ -181,6 +184,7 @@ def test_defocus_mask(aov, cfg):
     np.testing.assert_allclose(out, img, rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_denoise_improves_ssim_monkey_textured():
     """Second-scene value gate (round-3 VERDICT #7): the denoiser must
     also win on a HOSTILE scene — the textured monkey (1024^2 albedo
@@ -233,6 +237,7 @@ def test_denoise_improves_ssim_monkey_textured():
     assert s_den > s_noisy + 0.05, (s_noisy, s_den)
 
 
+@pytest.mark.slow
 def test_denoise_respects_hit_miss_boundary(aov):
     """Environment pixels never bleed into surface pixels."""
     h, w = aov["depth"].shape

@@ -212,6 +212,7 @@ def test_scenefile_nee_implies_standard_rr(tmp_path):
     assert cfg.env_importance_sampling and cfg.rr_mode == "standard"
 
 
+@pytest.mark.slow
 def test_nee_matches_bsdf_sampling_mean():
     """The NEE estimator must converge to the SAME image as plain BSDF
     sampling (VERDICT r1: a biased NEE would silently corrupt --nee).
@@ -268,6 +269,7 @@ def test_env_pdf_alias_matches_sampler():
     assert float(np.mean(rel < 1e-3)) > 0.97, float(np.mean(rel < 1e-3))
 
 
+@pytest.mark.slow
 def test_nee_defensive_mix_matches_mean():
     """The defensive 0.5 alias + 0.5 cosine mixture is the SAME integral:
     its converged image must agree with plain NEE and the weight math is
@@ -311,6 +313,7 @@ def test_nee_defensive_mix_requires_nee():
         RenderConfig(nee_defensive_mix=True)
 
 
+@pytest.mark.slow
 def test_nee_mis_spec_matches_mean():
     """Spec-lobe MIS re-weights BOTH arms of the spec env estimate with
     balance weights that sum to 1, so the converged image must agree

@@ -107,7 +107,14 @@ def render(make):
     return np.asarray(post_process(acc, cfg))
 
 
-@pytest.mark.parametrize("name", list(CONFIGS))
+@pytest.mark.parametrize(
+    "name",
+    [
+        # monkey_textured is the one >10 s golden (full OBJ load + textures).
+        pytest.param(n, marks=[pytest.mark.slow] if n == "monkey_textured" else [])
+        for n in CONFIGS
+    ],
+)
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     if os.environ.get("REGEN_GOLDENS"):

@@ -75,6 +75,7 @@ def test_native_missing_file():
         parse_obj_native("/nonexistent/file.obj")
 
 
+@pytest.mark.slow
 def test_builder_native_matches_python(tmp_path):
     from tpu_pathtracer.scene.builder import load_scene
 

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from tpu_pathtracer.runtime.profiler import FrameStats, xla_trace
 from tpu_pathtracer.utils import logging as plog
+import pytest
 
 
 def test_frame_stats_buckets():
@@ -29,6 +30,7 @@ def test_frame_stats_buckets():
     assert not st.totals and not st.counts
 
 
+@pytest.mark.slow
 def test_xla_trace_writes_profile(tmp_path):
     logdir = str(tmp_path / "trace")
     with xla_trace(logdir):

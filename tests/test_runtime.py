@@ -49,6 +49,7 @@ def test_camera_change_resets(scene):
     assert float(np.abs(np.asarray(r.accum)).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_denoise_display_path(scene):
     """denoise=True filters the displayed/saved image only: the raw
     accumulation (and therefore checkpoints and the progressive
@@ -240,6 +241,7 @@ def test_viewer_resize(scene):
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_cli_exr_output_is_linear_hdr(scene, tmp_path):
     # .exr gets the raw linear accumulation (values can exceed 1), not the
     # tonemapped u8 image.
