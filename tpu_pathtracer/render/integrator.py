@@ -157,6 +157,11 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
 
     # ---- texture-driven material properties (cu:682-717) -------------
     has_map = ma[:, S.MAT_HAS_MAP] > 0.5               # [N,4]
+    # The bundle gather is issue-bound per ROW (~13.4 ns each from the
+    # HBM pool — the single biggest shade cost at 131k lanes), and lanes
+    # whose material carries no maps at all consume only the constant
+    # fallbacks: exclude them from the gather along with miss lanes.
+    any_map = jnp.any(has_map, axis=1)                 # [N]
     if m.bundled:
         # All maps of a material share dims: ONE gather serves all four.
         from tpu_pathtracer.render.texsample import sample_bundle
@@ -201,18 +206,18 @@ def _shade(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directions, seeds
             )
 
         if use_mip and lod != "split":
-            bundle_samples = _bundle(mip_pools, hit.hit)
+            bundle_samples = _bundle(mip_pools, hit.hit & any_map)
         elif use_mip:
             # split: primary segments (depth == cfg.max_depth) full-res.
             primary = depth >= jnp.int32(cfg.max_depth)
-            full = _bundle(base_pools, hit.hit & primary)
-            mips = _bundle(mip_pools, hit.hit & ~primary)
+            full = _bundle(base_pools, hit.hit & any_map & primary)
+            mips = _bundle(mip_pools, hit.hit & any_map & ~primary)
             bundle_samples = [
                 jnp.where(primary[:, None], f, mp)
                 for f, mp in zip(full, mips)
             ]
         else:
-            bundle_samples = _bundle(base_pools, hit.hit)
+            bundle_samples = _bundle(base_pools, hit.hit & any_map)
 
         def prop(kind: int, fallback):
             return jnp.where(
