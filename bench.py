@@ -95,6 +95,8 @@ def main() -> int:
     ap.add_argument("--lanes", type=int, default=0, help="streaming lane-pool size (0 = config default)")
     ap.add_argument("--nee", action="store_true", help="env importance sampling (config-3 'GGX + env importance sampling' fidelity)")
     ap.add_argument("--pixel-order", default="auto", choices=["auto", "scanline", "tiled"])
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
+                    help="fused Pallas streaming schedule (ops/fused_schedule)")
     ap.add_argument(
         "--config", type=int, default=0, choices=range(6),
         help="BASELINE.json benchmark config preset (1-5); 0 = headline "
@@ -252,6 +254,7 @@ def _run(args) -> int:
         intersector=args.accel,
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
         pixel_order=args.pixel_order,
+        fused_schedule=args.fused,
         **({"stream_lanes": args.lanes} if args.lanes else {}),
     )
     if args.accel not in ("brute", "auto") and scene.accel is None:

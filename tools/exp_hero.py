@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--nee", action="store_true",
                     help="env importance sampling (forces rr_mode=standard)")
     ap.add_argument("--chunk-div", type=int, default=4)
+    ap.add_argument("--fused", default="auto",
+                    choices=("auto", "on", "off"))
     ap.add_argument("--scene", default="suitcase",
                     choices=["suitcase", "monkey", "tower", "highpoly"])
     args = ap.parse_args()
@@ -95,6 +97,7 @@ def main():
         sort_dir_bits=args.dir_bits, hier_min_clusters=args.hier_min,
         env_importance_sampling=args.nee,
         rr_mode="standard" if args.nee else "reference",
+        fused_schedule=args.fused,
     )
     cam = camera_arrays(
         Camera(**cam_args).with_aspect(cfg.width, cfg.height), cfg

@@ -81,6 +81,17 @@ class RenderConfig:
     # identical either way (seeds key off the pixel id).
     pixel_order: str = "auto"       # "auto" | "scanline" | "tiled"
 
+    # Fused streaming schedule (ops/fused_schedule): the post-trace step
+    # (Russian roulette, retire FIFO, prefix-sum work queue, state
+    # merges) runs as ONE Pallas kernel per iteration instead of ~25 XLA
+    # ops; camera regen stays outside (shared generate_camera_rays).
+    # "auto" = on for TPU whole-frame non-NEE scanline renders with lane
+    # pools <= 32k, where the schedule tail dominates (measured +5.2% on
+    # config 1; neutral at 131k lanes — see _fused_stream_ok).  "on"
+    # forces it (interpret mode off-TPU — slow, for tests), "off"
+    # disables.
+    fused_schedule: str = "auto"    # "auto" | "on" | "off"
+
     # ---- estimator behaviour -------------------------------------------
     # "reference": clone the reference's quirky estimator exactly:
     #   path_rgb = payload.radiance; on termination path_rgb /= p
@@ -287,6 +298,10 @@ class RenderConfig:
             raise ValueError(f"invalid intersector: {self.intersector!r}")
         if self.pixel_order not in ("auto", "scanline", "tiled"):
             raise ValueError(f"invalid pixel_order: {self.pixel_order!r}")
+        if self.fused_schedule not in ("auto", "on", "off"):
+            raise ValueError(
+                f"invalid fused_schedule: {self.fused_schedule!r}"
+            )
         if self.sort_rays not in ("auto", "off", "octant", "spatial"):
             raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
         if self.texture_lod not in ("auto", "off", "mip", "split"):

@@ -1068,9 +1068,12 @@ def render_pixels_stream(
     GPU persistent-threads renderers).  The tail is paid once per frame
     instead of once per tile, and tiling disappears entirely.
 
-    Output is bitwise-identical to the per-pixel schedules: seeds are
-    global (pixel, sample, subframe) counters and each pixel's samples
-    accumulate in sample order on a single lane.
+    Output matches the per-pixel schedules to 1 ulp: seeds are global
+    (pixel, sample, subframe) counters and each pixel's samples
+    accumulate in sample order on a single lane; the only op difference
+    is the retire average's explicit reciprocal multiply (see comment at
+    retire_rgb).  Fused vs unfused streaming is bitwise-identical
+    (tests/test_fused_schedule.py).
     """
     identity = pixel_ids is None  # frame render: slot maps to pixel id
     n_pix = (cfg.width * cfg.height) if identity else pixel_ids.shape[0]
@@ -1176,8 +1179,12 @@ def render_pixels_stream(
         # otherwise.
         retire_row = st["pix"] if tiled else st["slot"]
         retire_slot = jnp.where(pixel_done, retire_row, n_pix)
+        # Explicit reciprocal multiply (not /spp): compilers may or may
+        # not rewrite a divide-by-constant into a reciprocal multiply
+        # (Mosaic and XLA:CPU disagree), while a single mul is
+        # deterministic — keeps fused/unfused schedules bitwise-equal.
         retire_rgb = jnp.where(
-            pixel_done[:, None], lane_accum / jnp.float32(spp), 0.0
+            pixel_done[:, None], lane_accum * jnp.float32(1.0 / spp), 0.0
         )
         pend_slot, pend_rgb = st["pend_slot"], st["pend_rgb"]
         for fpos in range(FIFO_D):
@@ -1278,6 +1285,196 @@ def render_pixels_stream(
     return out[:n_pix]
 
 
+def _fused_stream_ok(cfg: RenderConfig, pixel_ids, lanes: int) -> bool:
+    """Whether the fused-schedule streaming path (ops/fused_schedule)
+    covers this render.  Envelope: identity pixel mapping, scanline
+    order, no NEE (shadow-segment accounting + spec_last MIS flow stay
+    in the XLA schedule), and a lane pool the (rows,128) chunking
+    divides.  Camera regen (incl. DOF) runs outside the kernel via the
+    shared generate_camera_rays, so it imposes no envelope limit."""
+    if cfg.fused_schedule == "off":
+        return False
+    if pixel_ids is not None or _tiled_order(cfg):
+        return False
+    if cfg.env_importance_sampling:
+        return False
+    if lanes % 128:
+        return False
+    s = lanes // 128
+    if s % min(128, s):
+        return False
+    if cfg.fused_schedule == "on":
+        return True
+    # auto: TPU + small lane pools, where the per-iteration schedule
+    # tail dominates the frame.  Measured r5 (artifacts/
+    # tpu_sweep_r05d.log): config 1 (16k lanes) 6.70 vs 6.37 Mrays/s
+    # (+5.2%); hero at 131k lanes 2.008 vs 2.007 s/launch (neutral);
+    # monkey 9.12 vs 9.24 (-1.3%) — at big pools the kernel's own
+    # VMEM round-trip of ~30 state planes cancels the fusion win.
+    return jax.default_backend() == "tpu" and lanes <= 32768
+
+
+def render_pixels_stream_fused(
+    scene: Scene,
+    cam: dict,
+    cfg: RenderConfig,
+    subframe: jnp.ndarray,
+    sample_offset: jnp.ndarray,
+    spp: int,
+    lanes: int,
+    return_stats: bool = False,
+):
+    """render_pixels_stream with the whole post-trace schedule fused into
+    ONE Pallas kernel per iteration (ops/fused_schedule).  Identical
+    semantics on the supported envelope (_fused_stream_ok); the work
+    queue, RR estimator, FIFO staging and camera regeneration are the
+    same op sequences, so output matches the unfused schedule (gated by
+    tests/test_fused_schedule.py).
+
+    State rides in lane-major (k, S, 128) planes; the only layout
+    traffic per iteration is the [L,3] transpose at the trace boundary.
+    """
+    from tpu_pathtracer.ops.fused_schedule import fused_stream_step
+
+    n_pix = cfg.width * cfg.height
+    s = lanes // 128
+    interpret = jax.default_backend() != "tpu"
+
+    def make_path(pix, sample_i):
+        seeds0 = rng.make_seeds(pix, sample_offset + sample_i, subframe)
+        return generate_camera_rays(
+            cam, pix % cfg.width, pix // cfg.width, seeds0, cfg
+        )
+
+    slot0 = jnp.arange(lanes, dtype=jnp.int32)
+    pix0 = slot0
+    o0, d0, s0 = make_path(pix0, jnp.zeros_like(pix0))
+
+    def pack3(x):                       # [L,3] -> (3,S,128)
+        return x.T.reshape(3, s, 128)
+
+    def unpack3(x):                     # (3,S,128) -> [L,3]
+        return x.reshape(3, lanes).T
+
+    FIFO_D = cfg.fifo_depth
+    FLUSH_EVERY = cfg.flush_every
+
+    state = dict(
+        o=pack3(o0),
+        d=pack3(d0),
+        att=jnp.ones((3, s, 128), jnp.float32),
+        rad=jnp.zeros((3, s, 128), jnp.float32),
+        seeds=s0.reshape(s, 128),
+        ints=jnp.stack(
+            [
+                slot0.reshape(s, 128),                      # slot
+                pix0.reshape(s, 128),                       # pix
+                jnp.zeros((s, 128), jnp.int32),             # sample_i
+                jnp.full((s, 128), cfg.max_depth, jnp.int32),
+                jnp.zeros((s, 128), jnp.int32),             # pend_cnt
+            ]
+        ),
+        spec=jnp.ones((s, 128), jnp.int32),
+        accum=jnp.zeros((3, s, 128), jnp.float32),
+        pend_slot=jnp.full((FIFO_D, s, 128), n_pix, jnp.int32),
+        pend_rgb=jnp.zeros((FIFO_D, 3, s, 128), jnp.float32),
+        out=jnp.zeros((n_pix + 1, 3), jnp.float32),
+        head=jnp.int32(lanes),
+        segments=jnp.int32(0),
+        it=jnp.int32(0),
+    )
+    max_iters = (n_pix * spp * (cfg.max_depth + 2)) // lanes + cfg.max_depth + 16
+
+    def cond(st):
+        return jnp.any(st["ints"][0] < n_pix) & (st["it"] < max_iters)
+
+    def body(st):
+        tb = _trace_bounce(
+            scene, cfg,
+            unpack3(st["o"]), unpack3(st["d"]),
+            unpack3(st["att"]), unpack3(st["rad"]),
+            st["seeds"].reshape(lanes),
+            st["ints"][3].reshape(lanes),
+            st["spec"].reshape(lanes) > 0,
+        )
+        scal = jnp.stack(
+            [
+                st["head"],
+                jnp.int32(0),
+                sample_offset.astype(jnp.int32),
+                st["segments"],
+            ]
+        )
+        (o, d, att, rad, seeds, ints, spec, accum, pend_slot, pend_rgb,
+         regen_pl, scal_out) = fused_stream_step(
+            scal,
+            pack3(tb["origin"]), pack3(tb["direction"]),
+            pack3(tb["attenuation"]), pack3(tb["radiance"]),
+            tb["seeds"].reshape(s, 128),
+            tb["done"].astype(jnp.int32).reshape(s, 128),
+            st["o"], st["d"], st["att"], st["rad"], st["seeds"],
+            st["ints"], st["spec"], st["accum"],
+            st["pend_slot"], st["pend_rgb"],
+            spp=spp, n_pix=n_pix, max_depth=cfg.max_depth,
+            rr_reference=cfg.rr_mode == "reference",
+            interpret=interpret,
+        )
+
+        # Camera regen outside the kernel: the SAME op sequence as the
+        # unfused schedule (generate_camera_rays incl. DOF) — one fused
+        # elementwise XLA pass over the lane pool, bitwise by
+        # construction (the in-kernel replay differed by 1 ulp from FMA
+        # contraction).
+        o_r, d_r, s_r = make_path(
+            ints[1].reshape(lanes),
+            jnp.minimum(ints[2].reshape(lanes), spp - 1),
+        )
+        rg_pl = regen_pl > 0
+        o = jnp.where(rg_pl[None], pack3(o_r), o)
+        d = jnp.where(rg_pl[None], pack3(d_r), d)
+        seeds = jnp.where(rg_pl, s_r.reshape(s, 128), seeds)
+
+        do_flush = (st["it"] % FLUSH_EVERY == FLUSH_EVERY - 1) | (
+            scal_out[0, 1] > 0
+        )
+
+        def flush(args):
+            out, ps, pr, ii = args
+            out = out.at[ps.reshape(-1)].add(
+                pr.transpose(0, 2, 3, 1).reshape(-1, 3)
+            )
+            return (
+                out,
+                jnp.full_like(ps, n_pix),
+                jnp.zeros_like(pr),
+                ii.at[4].set(0),
+            )
+
+        out, pend_slot, pend_rgb, ints = jax.lax.cond(
+            do_flush, flush, lambda a: a,
+            (st["out"], pend_slot, pend_rgb, ints),
+        )
+
+        return dict(
+            o=o, d=d, att=att, rad=rad, seeds=seeds, ints=ints, spec=spec,
+            accum=accum, pend_slot=pend_slot, pend_rgb=pend_rgb, out=out,
+            head=scal_out[0, 0], segments=scal_out[0, 2],
+            it=st["it"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    out = final["out"].at[final["pend_slot"].reshape(-1)].add(
+        final["pend_rgb"].transpose(0, 2, 3, 1).reshape(-1, 3)
+    )
+    if return_stats:
+        return out[:n_pix], dict(
+            iters=final["it"],
+            segments=final["segments"],
+            shadow_segments=jnp.int32(0),
+        )
+    return out[:n_pix]
+
+
 # ---------------------------------------------------------------------------
 # Frame rendering
 # ---------------------------------------------------------------------------
@@ -1312,6 +1509,11 @@ def render_pixels(
     if cfg.regenerate and spp > 1:
         lanes = resolve_stream_lanes(cfg, n_pix)
         if n_pix > lanes:
+            if _fused_stream_ok(cfg, pixel_ids, lanes):
+                return render_pixels_stream_fused(
+                    scene, cam, cfg, subframe, sample_offset, spp, lanes,
+                    return_stats=return_stats,
+                )
             return render_pixels_stream(
                 scene, cam, cfg, pixel_ids, subframe, sample_offset, spp,
                 lanes, return_stats=return_stats,
