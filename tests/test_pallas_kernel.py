@@ -398,3 +398,86 @@ def test_hier_occlusion_matches_brute():
     want = occluded_brute(scene.vertices, o, d, 0.01, 1e16)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(want))
     assert np.asarray(want).sum() > 20
+
+
+def test_entry_rank_matches_scalar_reference(clustered):
+    """entry_rank == first front-to-back position whose cluster AABB the
+    ray's [t_min, t_max] segment slab-overlaps (scalar numpy replay)."""
+    from tpu_pathtracer.ops.intersect_pallas import entry_rank
+
+    acc = clustered.accel
+    aabb8 = np.asarray(acc.aabb8)
+    order = np.asarray(acc.order)
+    c = acc.num_clusters
+    rs = np.random.RandomState(11)
+    n = 300
+    o = (rs.randn(n, 3) * 3).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+
+    # block < C exercises the padded-block path.
+    rank = np.asarray(entry_rank(
+        jnp.asarray(o), jnp.asarray(d), acc.aabb8,
+        jnp.argsort(acc.order, axis=1), t_min=0.01, t_max=1e16,
+        block=max(8, c // 2),
+    ))
+
+    def slab(o1, d1, lo, hi):
+        inv = np.where(np.abs(d1) > 1e-12, 1.0 / d1, 3.4e38)
+        t0 = (lo - o1) * inv
+        t1 = (hi - o1) * inv
+        tn = np.minimum(t0, t1).max()
+        tf = np.maximum(t0, t1).min()
+        return (tn <= tf) and (tf >= 0.01) and (tn <= 1e16)
+
+    for i in range(n):
+        oct_ = int((d[i, 0] > 0) + 2 * (d[i, 1] > 0) + 4 * (d[i, 2] > 0))
+        want = c
+        for pos in range(c):
+            cid = order[oct_, pos]
+            if slab(o[i], d[i], aabb8[cid, 0:3], aabb8[cid, 3:6]):
+                want = pos
+                break
+        assert rank[i] == want, (i, rank[i], want)
+
+
+def test_entry_sort_roundtrip_and_kernel_equivalence(clustered):
+    """The entry-cluster bucketing sort (cfg.sort_rays='entry') is a
+    bijection whose restore lands per-ray results back on source lanes;
+    kernel results through it match brute exactly; keys are octant-major
+    with the entry rank below."""
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.ops.intersect_pallas import (
+        entry_rank, entry_sort_key,
+    )
+
+    acc = clustered.accel
+    cfg = RenderConfig(width=8, height=8, sort_rays="entry")
+    rs = np.random.RandomState(13)
+    n = 200
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+
+    o_s, d_s, restore = acc._sorted_rays("entry", o, d, cfg)
+    np.testing.assert_array_equal(np.asarray(restore(o_s)), np.asarray(o))
+    np.testing.assert_array_equal(np.asarray(restore(d_s)), np.asarray(d))
+
+    bt_s, prim_s, _ = run_kernel(clustered, o_s, d_s)
+    prim = np.asarray(restore(jnp.asarray(prim_s)))
+    hb = intersect_brute(clustered.vertices, o, d, 0.01, 1e16)
+    np.testing.assert_array_equal(prim, np.asarray(hb.prim))
+
+    # Sorted keys are non-decreasing and octant-major: stripping rank +
+    # dir bits recovers a non-decreasing octant sequence.
+    posinv = jnp.argsort(acc.order, axis=1)
+    rank = entry_rank(d_s * 0 + o_s * 0 + o_s, d_s, acc.aabb8, posinv)
+    octant = (
+        (np.asarray(d_s)[:, 0] > 0).astype(np.int32)
+        + 2 * (np.asarray(d_s)[:, 1] > 0).astype(np.int32)
+        + 4 * (np.asarray(d_s)[:, 2] > 0).astype(np.int32)
+    )
+    key = np.asarray(entry_sort_key(
+        jnp.asarray(octant), rank, acc.num_clusters,
+        directions=d_s, dir_bits=acc._dir_bits(cfg),
+    ))
+    assert (np.diff(key.astype(np.int64)) >= 0).all()
+    assert (np.diff(octant) >= 0).all()

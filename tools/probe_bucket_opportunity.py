@@ -164,33 +164,38 @@ def main():
     print(f"scene={args.scene} tris={scene.num_triangles} clusters={c} "
           f"K={k} rpt={rpt} lanes={n} bounce1_alive={float(alive.mean()):.3f}")
 
+    from tpu_pathtracer.accel.cluster import build_cluster_accel
     from tpu_pathtracer.ops.intersect import intersect_brute
 
-    for name, (o, d) in (("primary", (o0, d0)), ("bounce-mix", (o1, d1))):
-        os_, ds_, _restore = acc._sorted_rays("spatial", o, d, cfg)
-        hit = intersect_brute(
-            jnp.asarray(scene.vertices), os_, ds_, 0.01, 1e16
-        )
-        true_t = jnp.where(hit.hit, hit.t, 1e16)
-        true_cl = jnp.where(hit.hit, hit.prim // k, -1)
-        def mean_visits(r, reveal):
-            visits = _sim_visits(
-                acc.aabb8, acc.order, os_, ds_,
-                true_t if reveal else jnp.full_like(true_t, 1e16),
-                true_cl if reveal else jnp.full_like(true_cl, -1),
-                r=r, k=k,
-            )
-            return float(visits.astype(jnp.float32).mean())
+    acc32 = build_cluster_accel(np.asarray(scene.vertices), cluster_size=32)
 
-        paid = mean_visits(rpt, True)    # packet-paid (kernel policy)
-        ideal = mean_visits(1, True)     # per-ray with best-t (lower bound)
-        flat = mean_visits(1, False)     # per-ray, NO best-t — what
-        #                                  independent buckets actually pay
-        print(f"  {name:10s}: packet visits/ray {paid:7.2f} "
-              f"(tests/ray {paid * k:7.0f}) | per-ray+t {ideal:6.2f} "
-              f"({ideal * k:6.0f}) | per-ray flat {flat:6.2f} ({flat * k:6.0f})"
-              f" | bucket bound {paid / max(flat, 1e-9):5.2f}x"
-              f" | best-t bound {paid / max(ideal, 1e-9):5.2f}x")
+    for name, (o, d) in (("primary", (o0, d0)), ("bounce-mix", (o1, d1))):
+        for mode in ("spatial", "entry"):
+            os_, ds_, _restore = acc._sorted_rays(mode, o, d, cfg)
+            hit = intersect_brute(
+                jnp.asarray(scene.vertices), os_, ds_, 0.01, 1e16
+            )
+            true_t = jnp.where(hit.hit, hit.t, 1e16)
+
+            def mean_visits(a, kk, r, reveal):
+                true_cl = jnp.where(hit.hit, hit.prim // kk, -1)
+                visits = _sim_visits(
+                    a.aabb8, a.order, os_, ds_,
+                    true_t if reveal else jnp.full_like(true_t, 1e16),
+                    true_cl if reveal else jnp.full_like(true_cl, -1),
+                    r=r, k=kk,
+                )
+                return float(visits.astype(jnp.float32).mean())
+
+            paid = mean_visits(acc, k, rpt, True)   # packet-paid (policy)
+            ideal = mean_visits(acc, k, 1, True)    # per-ray+t lower bound
+            flat = mean_visits(acc, k, 1, False)    # independent buckets
+            p32 = mean_visits(acc32, 32, rpt, True)  # K=32 packet-paid
+            print(f"  {name:10s} sort={mode:7s}: packet visits/ray "
+                  f"{paid:7.2f} (tests/ray {paid * k:7.0f}) | per-ray+t "
+                  f"{ideal:6.2f} ({ideal * k:6.0f}) | per-ray flat "
+                  f"{flat:6.2f} ({flat * k:6.0f}) | K=32 packet "
+                  f"{p32:7.2f} ({p32 * 32:6.0f})")
 
 
 if __name__ == "__main__":

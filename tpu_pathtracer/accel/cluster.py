@@ -23,6 +23,25 @@ from flax import struct
 from tpu_pathtracer.ops.intersect import Hit, _mt_block, finalize_hit
 
 
+def _pallas_route(cfg) -> tuple[bool, bool]:
+    """(use_pallas_kernels, interpret_mode) for this backend.
+
+    Native Mosaic on TPU; on other backends the env toggle
+    TPU_PT_PALLAS_INTERPRET=1 routes the SAME kernels through Pallas
+    interpret mode — slow, but it lets the multichip dryrun and CPU
+    tests validate the exact shipping traversal + sort path under
+    shard_map (VERDICT r4 #7) instead of the XLA fallback."""
+    import os
+
+    if not cfg.use_pallas:
+        return False, False
+    if jax.default_backend() == "tpu":
+        return True, False
+    if os.environ.get("TPU_PT_PALLAS_INTERPRET") == "1":
+        return True, True
+    return False, False
+
+
 @struct.dataclass
 class ClusterAccel:
     aabb_min: jnp.ndarray   # [C,3]
@@ -55,7 +74,7 @@ class ClusterAccel:
         if self.num_clusters * self.cluster_size >= (1 << 24):
             # prim ids travel through an exact-f32 packed row after the
             # sorted kernel; ids must stay below 2^24.
-            if cfg.sort_rays in ("octant", "spatial"):
+            if cfg.sort_rays in ("octant", "spatial", "entry"):
                 from tpu_pathtracer.utils import logging as plog
 
                 plog.warn_once(
@@ -65,7 +84,7 @@ class ClusterAccel:
                     "exact-f32; ids must stay below 2^24)",
                 )
             return ""
-        if cfg.sort_rays in ("octant", "spatial"):
+        if cfg.sort_rays in ("octant", "spatial", "entry"):
             return cfg.sort_rays
         if cfg.sort_rays == "off" or self.num_clusters < 2:
             return ""
@@ -100,10 +119,34 @@ class ClusterAccel:
     def _sorted_rays(self, mode, origins, directions, cfg):
         from tpu_pathtracer.ops.intersect_pallas import octant_sort
 
+        db = self._dir_bits(cfg)
+        if mode == "entry":
+            import jax.numpy as jnp
+
+            from tpu_pathtracer.ops.intersect_pallas import (
+                entry_rank, entry_sort_key, sort_by_key,
+            )
+
+            # posinv[o, c] = position of cluster c in octant o's
+            # front-to-back order (argsort of a permutation inverts it).
+            posinv = jnp.argsort(self.order, axis=1)
+            rank = entry_rank(
+                origins, directions, self.aabb8, posinv,
+                t_min=float(cfg.t_min), t_max=float(cfg.t_max),
+            )
+            octant = (
+                (directions[:, 0] > 0).astype(jnp.int32)
+                + 2 * (directions[:, 1] > 0).astype(jnp.int32)
+                + 4 * (directions[:, 2] > 0).astype(jnp.int32)
+            )
+            key = entry_sort_key(
+                octant, rank, self.num_clusters,
+                directions=directions, dir_bits=db,
+            )
+            return sort_by_key(origins, directions, key)
         bits = cfg.sort_spatial_bits
         if bits == 0:   # auto: finer cells for compact scenes
             bits = 7 if self.num_clusters < 256 else 5
-        db = self._dir_bits(cfg)
         return octant_sort(
             origins,
             directions,
@@ -122,7 +165,8 @@ class ClusterAccel:
         vertices: [T,3,3] Morton-permuted (T padded up to C*K internally).
         """
         vmem_bytes = self.tris16.size * 4
-        if cfg.use_pallas and jax.default_backend() == "tpu":
+        use_pallas, interp = _pallas_route(cfg)
+        if use_pallas:
             # Octant-sorted packets cull dramatically better on
             # multi-cluster scenes (every lane then agrees with the
             # packet's front-to-back visit order); ~1 ms of sort+gather
@@ -158,6 +202,7 @@ class ClusterAccel:
                     rays_per_tile=self._rpt(cfg),
                     branch=self.super_branch,
                     vmem_headroom=cfg.vmem_headroom,
+                    interpret=interp,
                 )
             elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
@@ -174,6 +219,7 @@ class ClusterAccel:
                     t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     vmem_headroom=cfg.vmem_headroom,
+                    interpret=interp,
                 )
             else:
                 # Beyond the VMEM budget: stream cluster blocks HBM->VMEM
@@ -200,6 +246,7 @@ class ClusterAccel:
                     # at br8; tools/probe_streamed.py).
                     branch=2 * self.super_branch,
                     vmem_headroom=cfg.vmem_headroom,
+                    interpret=interp,
                 )
             if sort:
                 # Un-permute via ONE small-table gather (pack the four
@@ -258,7 +305,8 @@ class ClusterAccel:
         while compacting nothing.  Their return value is unspecified
         (False on the Pallas path); callers mask on `active`."""
         vmem_bytes = self.tris16.size * 4
-        if cfg.use_pallas and jax.default_backend() == "tpu":
+        use_pallas, interp = _pallas_route(cfg)
+        if use_pallas:
             sort = self._want_sort(cfg)
             if active is not None and sort:
                 park = self.scene_hi + (self.scene_hi - self.scene_lo) + 1.0
@@ -288,6 +336,7 @@ class ClusterAccel:
                     rays_per_tile=self._rpt(cfg),
                     branch=self.super_branch,
                     vmem_headroom=cfg.vmem_headroom,
+                    interpret=interp,
                 )
             elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
@@ -299,6 +348,7 @@ class ClusterAccel:
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     vmem_headroom=cfg.vmem_headroom,
+                    interpret=interp,
                 )
             else:
                 # Big scene: streamed two-level any-hit — shadow rays no
@@ -315,6 +365,7 @@ class ClusterAccel:
                     rays_per_tile=self._rpt(cfg),
                     branch=2 * self.super_branch,   # see intersect() note
                     vmem_headroom=cfg.vmem_headroom,
+                    interpret=interp,
                 )
             return restore(occ) if sort else occ
         return self._occluded_xla(vertices, origins, directions, t_min, t_max)

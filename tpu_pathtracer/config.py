@@ -172,7 +172,12 @@ class RenderConfig:
     # s/launch at best refresh; monkey 4.98 vs 3.23 — worst exactly where
     # sorting matters most).  docs/perf_notes.md round 3 has the numbers;
     # the implementation is at git 24f2f76.
-    sort_rays: str = "auto"          # "auto" | "off" | "octant" | "spatial"
+    # "entry" sorts by (octant, front-to-back rank of the first slab-
+    # overlapped cluster): packets become entry-cluster-pure and the
+    # slab-gated packet kernels degenerate to dense per-bucket triangle
+    # tests — cluster-bucketed ray compaction without new kernels
+    # (tools/probe_bucket_opportunity.py measures the per-scene bound).
+    sort_rays: str = "auto"  # "auto" | "off" | "octant" | "spatial" | "entry"
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
     # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,
     # tower 2.35->2.29 s), 5 for spread ones (766-cluster field: 8.2 vs
@@ -302,7 +307,7 @@ class RenderConfig:
             raise ValueError(
                 f"invalid fused_schedule: {self.fused_schedule!r}"
             )
-        if self.sort_rays not in ("auto", "off", "octant", "spatial"):
+        if self.sort_rays not in ("auto", "off", "octant", "spatial", "entry"):
             raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
         if self.texture_lod not in ("auto", "off", "mip", "split"):
             raise ValueError(f"invalid texture_lod: {self.texture_lod!r}")

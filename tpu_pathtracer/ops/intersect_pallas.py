@@ -1133,6 +1133,131 @@ def ray_sort_key(
     return key
 
 
+@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "block"))
+def entry_rank(
+    origins: jnp.ndarray,      # [N,3]
+    directions: jnp.ndarray,   # [N,3]
+    aabb8: jnp.ndarray,        # [C,8] f32 cluster bounds
+    posinv: jnp.ndarray,       # [8,C] f32: posinv[o,c] = front-to-back
+    #                            position of cluster c in octant o's order
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    block: int = 128,
+) -> jnp.ndarray:
+    """[N] i32: front-to-back position (in the ray's octant order) of the
+    FIRST cluster whose AABB the ray's [t_min, t_max] segment overlaps —
+    i.e. which cluster the packet kernel would test first.  C where the
+    ray overlaps nothing (such rays sort to the end of their octant).
+
+    This is the "first overlapped cluster" bucketing key of VERDICT r4 #2:
+    sorting rays by (octant, entry rank) makes packets entry-cluster-pure,
+    so the existing slab-gated packet kernels degenerate to dense
+    per-bucket triangle tests — without any new kernel.
+
+    Cost shape: blocked over clusters so the [N, block] slab temporaries
+    bound memory; the per-octant rank select is ONE one-hot [N,8] x [8,B]
+    matmul per block (MXU), not a per-element gather.
+    """
+    n = origins.shape[0]
+    c = aabb8.shape[0]
+    ox, oy, oz = origins[:, 0:1], origins[:, 1:2], origins[:, 2:3]
+    big = jnp.float32(3.4e38)
+    inv = jnp.where(jnp.abs(directions) > 1e-12, 1.0 / directions, big)
+    ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
+    octant = (
+        (directions[:, 0] > 0).astype(jnp.int32)
+        + 2 * (directions[:, 1] > 0).astype(jnp.int32)
+        + 4 * (directions[:, 2] > 0).astype(jnp.int32)
+    )
+    onehot = jax.nn.one_hot(octant, 8, dtype=jnp.float32)     # [N,8]
+    posinv_f = posinv.astype(jnp.float32)
+
+    c_pad = -(-c // block) * block
+    if c_pad > c:
+        pad = jnp.full((c_pad - c, 8), 3.0e37, aabb8.dtype)   # far points
+        aabb8 = jnp.concatenate([aabb8, pad], axis=0)
+        posinv_f = jnp.concatenate(
+            [posinv_f, jnp.full((8, c_pad - c), float(c))], axis=1
+        )
+
+    def body(carry, inp):
+        b, pos_blk = inp                                      # [B,8], [8,B]
+        bminx, bminy, bminz = b[None, :, 0], b[None, :, 1], b[None, :, 2]
+        bmaxx, bmaxy, bmaxz = b[None, :, 3], b[None, :, 4], b[None, :, 5]
+        tx0 = (bminx - ox) * ix
+        tx1 = (bmaxx - ox) * ix
+        ty0 = (bminy - oy) * iy
+        ty1 = (bmaxy - oy) * iy
+        tz0 = (bminz - oz) * iz
+        tz1 = (bmaxz - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        overlap = (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max)
+        sel = onehot @ pos_blk                                # [N,B] MXU
+        cand = jnp.min(
+            jnp.where(overlap, sel, jnp.float32(c)), axis=1
+        )
+        return jnp.minimum(carry, cand), None
+
+    blocks = aabb8.reshape(c_pad // block, block, 8)
+    pos_blocks = posinv_f.reshape(8, c_pad // block, block).transpose(1, 0, 2)
+    rank, _ = jax.lax.scan(
+        body, jnp.full((n,), jnp.float32(c)), (blocks, pos_blocks)
+    )
+    return rank.astype(jnp.int32)
+
+
+def entry_sort_key(
+    octant: jnp.ndarray,       # [N] i32 (or None -> computed from dirs)
+    rank: jnp.ndarray,         # [N] i32 in [0, C]
+    num_clusters: int,
+    directions: jnp.ndarray = None,
+    dir_bits: int = 0,
+) -> jnp.ndarray:
+    """[N] u32 sort key: octant major, entry rank below it, optional
+    direction-magnitude bits as the tiebreak inside a bucket.  Adjacent
+    buckets are front-to-back adjacent clusters of the same octant, so a
+    packet spanning a bucket boundary stays nearly coherent."""
+    rank_bits = max(1, int(np.ceil(np.log2(num_clusters + 1))))
+    dir_bits = min(dir_bits, max(0, (32 - 3 - rank_bits) // 3))
+    key = (octant.astype(jnp.uint32) << rank_bits) | rank.astype(jnp.uint32)
+    if dir_bits:
+        cells = jnp.float32((1 << dir_bits) - 1)
+        mag = (jnp.clip(jnp.abs(directions), 0.0, 1.0) * cells).astype(
+            jnp.uint32
+        )
+        fine = (
+            (mag[:, 0] << (2 * dir_bits)) | (mag[:, 1] << dir_bits) | mag[:, 2]
+        )
+        key = (key << (3 * dir_bits)) | fine
+    return key
+
+
+def sort_by_key(origins, directions, key):
+    """Stable-sort rays by a precomputed [N] u32 key; returns
+    (origins_s, directions_s, restore) like octant_sort (same packed-row
+    single-gather cost model)."""
+    n = origins.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, iota)
+    _, inv = jax.lax.sort_key_val(perm, iota)
+    packed = jnp.concatenate(
+        [origins, directions, jnp.zeros((n, 2), origins.dtype)], axis=-1
+    )
+    rows = packed[perm]
+
+    def restore(x):
+        return x[inv]
+
+    return rows[:, 0:3], rows[:, 3:6], restore
+
+
 def octant_sort(
     origins: jnp.ndarray,
     directions: jnp.ndarray,
@@ -1161,20 +1286,10 @@ def octant_sort(
     with the inverse permutation (obtained by sorting the permutation —
     cheaper than a ~40 ns/row scatter).  Total ~1 ms.
     """
-    n = origins.shape[0]
     key = ray_sort_key(
         origins, directions, scene_lo, scene_hi, spatial_bits, dir_bits
     )
-    iota = jnp.arange(n, dtype=jnp.int32)
-    _, perm = jax.lax.sort_key_val(key, iota)       # slot -> lane
-    _, inv = jax.lax.sort_key_val(perm, iota)       # lane -> slot
-    packed = jnp.concatenate(
-        [origins, directions, jnp.zeros((n, 2), origins.dtype)], axis=-1
-    )
-    rows = packed[perm]                              # ONE gather
-    def restore(x):
-        return x[inv]
-    return rows[:, 0:3], rows[:, 3:6], restore
+    return sort_by_key(origins, directions, key)
 
 
 def octant_orders(aabbs: np.ndarray) -> np.ndarray:
