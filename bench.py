@@ -97,6 +97,13 @@ def main() -> int:
     ap.add_argument("--pixel-order", default="auto", choices=["auto", "scanline", "tiled"])
     ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                     help="fused Pallas streaming schedule (ops/fused_schedule)")
+    ap.add_argument("--sort-rays", default="auto",
+                    choices=["auto", "off", "octant", "spatial", "entry"],
+                    help="ray coherence sort key (config.sort_rays)")
+    ap.add_argument("--mq", default="auto", choices=["auto", "on", "off"],
+                    help="multi-queue NEE (config.nee_multi_queue)")
+    ap.add_argument("--rpt", type=int, default=0,
+                    help="Pallas rays per tile (0 = auto)")
     ap.add_argument(
         "--config", type=int, default=0, choices=range(6),
         help="BASELINE.json benchmark config preset (1-5); 0 = headline "
@@ -255,6 +262,9 @@ def _run(args) -> int:
         tile_pixels=(n_pix // tiles) if tiles > 1 else 0,
         pixel_order=args.pixel_order,
         fused_schedule=args.fused,
+        sort_rays=args.sort_rays,
+        pallas_rays_per_tile=args.rpt,
+        nee_multi_queue=args.mq,
         **({"stream_lanes": args.lanes} if args.lanes else {}),
     )
     if args.accel not in ("brute", "auto") and scene.accel is None:

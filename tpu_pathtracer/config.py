@@ -122,6 +122,16 @@ class RenderConfig:
     # round 4, NEE equal-time study); bounds the weight at 2x the pure
     # cosine estimator's where the alias pdf is a bad match.
     nee_defensive_mix: bool = False
+    # Multi-queue NEE (VERDICT r4 #5): instead of a separate any-hit
+    # kernel launch per bounce, the shadow ray rides the NEXT bounce's
+    # closest-hit batch (2x lanes, ONE kernel pass, one shared ray sort).
+    # The deferred contribution is resolved one iteration later; paths
+    # killed by Russian roulette in between drop it, and survivors scale
+    # it by 1/p_survive — unbiased (E[1{survive}/p] = 1), but a different
+    # estimator from the immediate-resolve path, so it is gated
+    # statistically (tests/test_envmap.py) rather than bitwise.
+    # "auto" = off (flips if the TPU cost A/B wins); "on"/"off" force.
+    nee_multi_queue: str = "auto"   # "auto" | "on" | "off"
     # Spec-lobe MIS (one-sample balance heuristic) between GGX sampling
     # and the env light sample: env credits on spec-sampled misses are
     # weighted p_ggx/(p_ggx + p_light), and the matching light-sampled
@@ -291,6 +301,10 @@ class RenderConfig:
             raise ValueError(
                 "nee_defensive_mix is a mode OF the NEE light sample: "
                 "it requires env_importance_sampling=True"
+            )
+        if self.nee_multi_queue not in ("auto", "on", "off"):
+            raise ValueError(
+                f"invalid nee_multi_queue: {self.nee_multi_queue!r}"
             )
         if self.nee_mis_spec and not self.env_importance_sampling:
             raise ValueError(

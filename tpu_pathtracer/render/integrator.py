@@ -524,7 +524,28 @@ def _shade_deferred(scene: Scene, cfg: RenderConfig, hit: Hit, origins, directio
 # The bounce loop (reference raygen loop, cu:362-396)
 # ---------------------------------------------------------------------------
 
-def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, depth, spec_last=None):
+def nee_mq_on(cfg) -> bool:
+    """Resolve cfg.nee_multi_queue for this render ("auto" = off: the
+    round-5 TPU A/B on the hero measured the combined 2x-lane closest-hit
+    batch SLOWER than the separate any-hit launch — see docs/
+    perf_notes.md; "on" stays available for re-measurement)."""
+    if not cfg.env_importance_sampling:
+        return False
+    return cfg.nee_multi_queue == "on"
+
+
+def make_pending(origins) -> dict:
+    """Inactive deferred-shadow state (multi-queue NEE), shaped like the
+    lane pool.  *_like derivations keep shard_map varying axes right."""
+    return dict(
+        active=jnp.zeros_like(origins[:, 0], dtype=bool),
+        origin=jnp.zeros_like(origins),
+        dir=jnp.zeros_like(origins).at[:, 0].set(1.0),
+        contrib=jnp.zeros_like(origins),
+    )
+
+
+def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, depth, spec_last=None, pending=None):
     """One path segment for every lane: intersect, then closest-hit shade
     or miss.  Returns the post-trace payload (pre-Russian-roulette).
 
@@ -537,9 +558,46 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
     optixSphere.h:44).  Requires rr_mode="standard" — enforced by
     RenderConfig validation: the reference estimator's terminal /p
     division would bias mid-path NEE contributions.
+
+    Multi-queue NEE (`pending` is not None): the PREVIOUS segment's
+    shadow ray rides this segment's closest-hit batch — 2x lanes, one
+    kernel pass, one shared coherence sort — and its stored contribution
+    is added here iff unoccluded (env light sits at infinity, so "any
+    hit" == "closest hit exists").  This segment's shadow ray is returned
+    as the new `pending` instead of being traced by a separate
+    occluded_scene launch.  The reference analog is `traceOcclusion`
+    (optixSphere.cu:134-156, dead code there) made batch-efficient.
     """
     nee = cfg.env_importance_sampling
-    hit = intersect_scene(scene, origin, direction, cfg.t_min, cfg.t_max, cfg)
+    mq = pending is not None
+    if mq:
+        # Inactive pending lanes park far outside every AABB (origin
+        # 3e37, +x): they fail slab tests / Möller-Trumbore cleanly and,
+        # under the sorted kernels, share one sort key so they compact
+        # into all-parked packets that do no triangle work.
+        pact = pending["active"]
+        park_o = jnp.zeros_like(origin).at[:, 0].set(3.0e37)
+        park_d = jnp.zeros_like(direction).at[:, 0].set(1.0)
+        o2 = jnp.where(pact[:, None], pending["origin"], park_o)
+        d2 = jnp.where(pact[:, None], pending["dir"], park_d)
+        hit_all = intersect_scene(
+            scene,
+            jnp.concatenate([origin, o2], axis=0),
+            jnp.concatenate([direction, d2], axis=0),
+            cfg.t_min, cfg.t_max, cfg,
+        )
+        n = origin.shape[0]
+        hit = jax.tree.map(lambda x: x[:n], hit_all)
+        shadow_blocked = hit_all.hit[n:]
+        # Resolve the deferred contribution (additive; order vs this
+        # segment's own env/emissive additions is immaterial).
+        radiance = radiance + jnp.where(
+            (pact & ~shadow_blocked)[:, None], pending["contrib"], 0.0
+        )
+    else:
+        hit = intersect_scene(
+            scene, origin, direction, cfg.t_min, cfg.t_max, cfg
+        )
 
     # miss program (cu:531-567): radiance += att * env; done.  Hit lanes
     # never consume env_rad, so their gather rows collapse onto row 0.
@@ -634,12 +692,17 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
             & ~sh["degenerate"]
             & (cos_l > 0.0)
         )
-        occluded = occluded_scene(
-            scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg,
-            active=cand,
-        )
+        if mq:
+            # Occlusion resolves NEXT iteration, riding that segment's
+            # closest-hit batch; no separate launch.
+            nee_ok = cand
+        else:
+            occluded = occluded_scene(
+                scene, sh["new_origin"], env_dir, cfg.t_min, cfg.t_max, cfg,
+                active=cand,
+            )
+            nee_ok = cand & ~occluded
         l_env = eval_env(scene.env, env_dir, cfg, active=cand, uv=(env_u, env_v))
-        nee_ok = cand & ~occluded
         # Lobe-partitioned estimator, consistent with the base integrator.
         # The base (non-NEE) estimator multiplies EVERY continuation by the
         # deterministic blend M = brdf_combined and the |n.l_spec| cosine
@@ -698,7 +761,17 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
                 * (w_l / jnp.maximum(env_pdf_v, 1e-12))[:, None]
                 * l_env
             )
-        radiance_hit = radiance_hit + jnp.where(nee_ok[:, None], contrib, 0.0)
+        if mq:
+            pend_out = dict(
+                active=cand,
+                origin=sh["new_origin"],
+                dir=env_dir,
+                contrib=jnp.where(cand[:, None], contrib, 0.0),
+            )
+        else:
+            radiance_hit = radiance_hit + jnp.where(
+                nee_ok[:, None], contrib, 0.0
+            )
         if cfg.nee_mis_spec:
             # BSDF-arm weight for the NEXT segment's env credit: p_light
             # and p_ggx evaluated at the spec continuation direction with
@@ -725,7 +798,7 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
     else:
         spec_next = spec_last
 
-    return dict(
+    out = dict(
         radiance=jnp.where(hit_m[:, None], radiance_hit, radiance_miss),
         attenuation=jnp.where(
             (hit_m & sh["att_ok"])[:, None],
@@ -739,6 +812,9 @@ def _trace_bounce(scene, cfg, origin, direction, attenuation, radiance, seeds, d
         spec_last=spec_next,
         hit=hit_m,  # for shadow-ray accounting (segment counters)
     )
+    if mq:
+        out["pending"] = pend_out
+    return out
 
 
 def render_rays(
@@ -775,11 +851,21 @@ def render_rays(
         segments=jnp.int32(0) + seeds[0].astype(jnp.int32) * 0,
         shadow=jnp.int32(0) + seeds[0].astype(jnp.int32) * 0,
     )
+    mq = nee_mq_on(cfg)
+    if mq:
+        state["pend"] = make_pending(origins)
 
     max_traces = cfg.max_depth + 2  # depth<=0 forces done; +1 safety
+    if mq:
+        # The final segment's deferred shadow still needs one resolving
+        # trace; pend_active dies with advs, so one extra pass suffices.
+        max_traces += 1
 
     def cond(st):
-        return (~jnp.all(st["terminated"])) & (st["bounce"] < max_traces)
+        live_any = ~jnp.all(st["terminated"])
+        if mq:
+            live_any = live_any | jnp.any(st["pend"]["active"])
+        return live_any & (st["bounce"] < max_traces)
 
     def body(st):
         live = ~st["terminated"]
@@ -787,6 +873,7 @@ def render_rays(
         tb = _trace_bounce(
             scene, cfg, st["origin"], st["direction"], st["attenuation"],
             st["radiance"], st["seeds"], st["depth"], st["spec_last"],
+            pending=st["pend"] if mq else None,
         )
         att_new = tb["attenuation"]
         radiance_new = tb["radiance"]
@@ -818,6 +905,17 @@ def render_rays(
         # -- masked state update (only surviving live lanes advance) ------
         advs = live & ~rr_done
         adv = advs[:, None]
+        if mq:
+            # Deferred-shadow estimator under RR: killed paths DROP the
+            # pending contribution; survivors scale it by 1/p_survive.
+            # E[1{survive}/p] = 1 keeps the NEE term unbiased (see
+            # config.nee_multi_queue).
+            pend_new = dict(
+                active=tb["pending"]["active"] & advs,
+                origin=tb["pending"]["origin"],
+                dir=tb["pending"]["dir"],
+                contrib=tb["pending"]["contrib"] / p_div[:, None],
+            )
         st_new = dict(
             origin=jnp.where(adv, tb["origin"], st["origin"]),
             direction=jnp.where(adv, tb["direction"], st["direction"]),
@@ -832,11 +930,16 @@ def render_rays(
             segments=st["segments"] + jnp.sum(live.astype(jnp.int32)),
             shadow=st["shadow"]
             + (
-                jnp.sum((live & tb["hit"]).astype(jnp.int32))
+                # mq: shadow rays traced THIS iteration = incoming pending.
+                jnp.sum(st["pend"]["active"].astype(jnp.int32))
+                if mq
+                else jnp.sum((live & tb["hit"]).astype(jnp.int32))
                 if cfg.env_importance_sampling
                 else jnp.int32(0)
             ),
         )
+        if mq:
+            st_new["pend"] = pend_new
         return st_new
 
     final = jax.lax.while_loop(cond, body, state)
@@ -917,6 +1020,9 @@ def render_pixels_regen(
         segments=jnp.int32(0) + pixel_ids[0] * 0,   # shard_map-varying
         shadow=jnp.int32(0) + pixel_ids[0] * 0,
     )
+    mq = nee_mq_on(cfg)
+    if mq:
+        state["pend"] = make_pending(o0)
     max_iters = spp * (cfg.max_depth + 2) + 4
 
     def cond(st):
@@ -927,6 +1033,7 @@ def render_pixels_regen(
         tb = _trace_bounce(
             scene, cfg, st["origin"], st["direction"], st["attenuation"],
             st["radiance"], st["seeds"], st["depth"], st["spec_last"],
+            pending=st["pend"] if mq else None,
         )
         att_new = tb["attenuation"]
         radiance_new = tb["radiance"]
@@ -955,7 +1062,14 @@ def render_pixels_regen(
         adv = (live & ~rr_done)[:, None]
         rg = regen[:, None]
 
-        return dict(
+        if mq:  # see render_rays: drop on RR kill, scale survivors by 1/p
+            pend_new = dict(
+                active=tb["pending"]["active"] & (live & ~rr_done),
+                origin=tb["pending"]["origin"],
+                dir=tb["pending"]["dir"],
+                contrib=tb["pending"]["contrib"] / p_div[:, None],
+            )
+        st_new = dict(
             origin=jnp.where(rg, o_r, jnp.where(adv, tb["origin"], st["origin"])),
             direction=jnp.where(rg, d_r, jnp.where(adv, tb["direction"], st["direction"])),
             seeds=jnp.where(regen, s_r, jnp.where(live, seeds_new, st["seeds"])),
@@ -978,11 +1092,16 @@ def render_pixels_regen(
             segments=st["segments"] + jnp.sum(live.astype(jnp.int32)),
             shadow=st["shadow"]
             + (
-                jnp.sum((live & tb["hit"]).astype(jnp.int32))
+                jnp.sum(st["pend"]["active"].astype(jnp.int32))
+                if mq
+                else jnp.sum((live & tb["hit"]).astype(jnp.int32))
                 if cfg.env_importance_sampling
                 else jnp.int32(0)
             ),
         )
+        if mq:
+            st_new["pend"] = pend_new
+        return st_new
 
     final = jax.lax.while_loop(cond, body, state)
     out = final["accum"] / jnp.float32(spp)
@@ -1142,6 +1261,9 @@ def render_pixels_stream(
         segments=jnp.int32(0) + vary,               # shard_map-varying
         shadow=jnp.int32(0) + vary,
     )
+    mq = nee_mq_on(cfg)
+    if mq:
+        state["pend"] = make_pending(o0)
     max_iters = (n_pix * spp * (cfg.max_depth + 2)) // lanes + cfg.max_depth + 16
 
     def cond(st):
@@ -1152,6 +1274,7 @@ def render_pixels_stream(
         tb = _trace_bounce(
             scene, cfg, st["origin"], st["direction"], st["attenuation"],
             st["radiance"], st["seeds"], st["depth"], st["spec_last"],
+            pending=st["pend"] if mq else None,
         )
         seeds_new, u_rr = rng.uniform(tb["seeds"])
         p = jnp.max(tb["attenuation"], axis=-1)
@@ -1237,7 +1360,14 @@ def render_pixels_stream(
         adv = (live & ~rr_done)[:, None]
         rg = regen[:, None]
 
-        return dict(
+        if mq:  # see render_rays: drop on RR kill, scale survivors by 1/p
+            pend_new = dict(
+                active=tb["pending"]["active"] & (live & ~rr_done),
+                origin=tb["pending"]["origin"],
+                dir=tb["pending"]["dir"],
+                contrib=tb["pending"]["contrib"] / p_div[:, None],
+            )
+        st_new = dict(
             slot=new_slot,
             pix=pix,
             origin=jnp.where(rg, o_r, jnp.where(adv, tb["origin"], st["origin"])),
@@ -1265,11 +1395,16 @@ def render_pixels_stream(
             segments=st["segments"] + jnp.sum(live.astype(jnp.int32)),
             shadow=st["shadow"]
             + (
-                jnp.sum((live & tb["hit"]).astype(jnp.int32))
+                jnp.sum(st["pend"]["active"].astype(jnp.int32))
+                if mq
+                else jnp.sum((live & tb["hit"]).astype(jnp.int32))
                 if cfg.env_importance_sampling
                 else jnp.int32(0)
             ),
         )
+        if mq:
+            st_new["pend"] = pend_new
+        return st_new
 
     final = jax.lax.while_loop(cond, body, state)
     # Final flush: scatter any retires still staged in the FIFOs.
