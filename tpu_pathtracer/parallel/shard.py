@@ -102,17 +102,24 @@ def render_frame_sharded(
             raise ValueError(
                 f"width*height ({n_pix}) must divide across {ndev} devices"
             )
+        chunk = n_pix // ndev
 
-        def worker(pixel_ids, scene, cam, subframe):
-            return render_pixels(scene, cam, cfg, pixel_ids, subframe)
+        def worker(scene, cam, subframe):
+            # Affine id range (base, count) instead of a materialized id
+            # array: the streaming schedule's slot->pixel map then stays
+            # arithmetic — the per-iteration gather from the sharded id
+            # table was most of the measured 1-device shard overhead
+            # (VERDICT r4 #4; tools/exp_shard_overhead.py).  Seeds key off
+            # the same global pixel ids, so output stays bitwise-identical.
+            base = jax.lax.axis_index(axis).astype(jnp.int32) * chunk
+            return render_pixels(scene, cam, cfg, (base, chunk), subframe)
 
-        ids = jnp.arange(n_pix, dtype=jnp.int32)
         img = shard_map(
             worker,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(), P()),
+            in_specs=(P(), P(), P()),
             out_specs=P(axis),
-        )(ids, scene, cam, subframe)
+        )(scene, cam, subframe)
         return img.reshape(cfg.height, cfg.width, 3)
 
     if mode == "samples":

@@ -1195,7 +1195,13 @@ def render_pixels_stream(
     (tests/test_fused_schedule.py).
     """
     identity = pixel_ids is None  # frame render: slot maps to pixel id
-    n_pix = (cfg.width * cfg.height) if identity else pixel_ids.shape[0]
+    affine = isinstance(pixel_ids, tuple)  # (base, count) — see render_pixels
+    if identity:
+        n_pix = cfg.width * cfg.height
+    elif affine:
+        n_pix = pixel_ids[1]
+    else:
+        n_pix = pixel_ids.shape[0]
     lanes = min(lanes, n_pix)
     tiled = identity and _tiled_order(cfg)
 
@@ -1204,6 +1210,8 @@ def render_pixels_stream(
             if tiled:
                 return _tile_slot_to_pixel(slot, cfg.width)
             return slot
+        if affine:  # arithmetic, not a gather — the whole point
+            return pixel_ids[0] + slot
         return pixel_ids[jnp.minimum(slot, n_pix - 1)]
 
     def make_path(pix, sample_i):
@@ -1213,7 +1221,11 @@ def render_pixels_stream(
         )
 
     slot0 = jnp.arange(lanes, dtype=jnp.int32)       # position in pixel_ids
-    if not identity:
+    if affine:
+        # Tie to the device-varying base scalar so shard_map varying-axes
+        # tracking sees the whole carry as device-varying.
+        slot0 = slot0 + 0 * pixel_ids[0]
+    elif not identity:
         # Tie to the sharded input so shard_map varying-axes tracking sees
         # the whole carry as device-varying.
         slot0 = slot0 + 0 * pixel_ids[:lanes]
@@ -1637,9 +1649,20 @@ def render_pixels(
     if spp is None:
         spp = cfg.samples_per_launch
     sample_offset = jnp.asarray(sample_offset, dtype=jnp.int32)
-    n_pix = (
-        cfg.width * cfg.height if pixel_ids is None else pixel_ids.shape[0]
-    )
+    # `pixel_ids` may be an AFFINE range (base_i32_scalar, count): the
+    # contiguous slice `base + arange(count)`.  Sharded pixel rendering
+    # passes this instead of a materialized id array so the streaming
+    # schedule's slot->pixel map stays ARITHMETIC — the per-iteration
+    # [lanes]-row gather from a 2M-entry id table measured ~0.35 ms x
+    # ~550 iters = most of the round-4 "9-10% shard overhead"
+    # (tools/exp_shard_overhead.py; VERDICT r4 #4).
+    affine = isinstance(pixel_ids, tuple)
+    if pixel_ids is None:
+        n_pix = cfg.width * cfg.height
+    elif affine:
+        n_pix = pixel_ids[1]
+    else:
+        n_pix = pixel_ids.shape[0]
 
     if cfg.regenerate and spp > 1:
         lanes = resolve_stream_lanes(cfg, n_pix)
@@ -1655,12 +1678,16 @@ def render_pixels(
             )
         if pixel_ids is None:
             pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+        elif affine:
+            pixel_ids = pixel_ids[0] + jnp.arange(n_pix, dtype=jnp.int32)
         return render_pixels_regen(
             scene, cam, cfg, pixel_ids, subframe, sample_offset, spp,
             return_stats=return_stats,
         )
     if pixel_ids is None:
         pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    elif affine:
+        pixel_ids = pixel_ids[0] + jnp.arange(n_pix, dtype=jnp.int32)
 
     np_ = pixel_ids.shape[0]
     pixel_rep = jnp.repeat(pixel_ids, spp)                    # [Np*spp]
