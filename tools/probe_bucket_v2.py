@@ -107,8 +107,17 @@ def main():
     d1 = jnp.where(alive[:, None], tb["direction"], d_f)
 
     rpts = [int(v) for v in args.rpts.split(",")]
+    # Judge under the kernel that actually runs: the HBM-streamed kernel
+    # visits clusters in MORTON BLOCK order for every octant, not the
+    # per-octant front-to-back order (which only the in-VMEM kernels use).
+    streamed = acc.tris16.size * 4 > 6 * 1024 * 1024
+    order = (
+        jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (8, c))
+        if streamed
+        else acc.order
+    )
     print(f"scene={args.scene} tris={scene.num_triangles} clusters={c} "
-          f"K={k} lanes={n}")
+          f"K={k} lanes={n} visit_order={'morton' if streamed else 'f2b'}")
 
     from tpu_pathtracer.ops.intersect import intersect_brute
 
@@ -134,11 +143,11 @@ def main():
             line = [f"  {name:10s} {mode:7s}:"]
             for r in rpts:
                 v = _sim_visits(
-                    acc.aabb8, acc.order, os_, ds_, tt, tc, r=r, k=k
+                    acc.aabb8, order, os_, ds_, tt, tc, r=r, k=k
                 )
                 m = float(v.astype(jnp.float32).mean())
                 line.append(f"rpt{r}={m:6.2f} ({m * k:5.0f}t)")
-            v1 = _sim_visits(acc.aabb8, acc.order, os_, ds_, tt, tc, r=1, k=k)
+            v1 = _sim_visits(acc.aabb8, order, os_, ds_, tt, tc, r=1, k=k)
             line.append(f"per-ray+t={float(v1.astype(jnp.float32).mean()):5.2f}")
             print(" ".join(line))
 

@@ -24,6 +24,11 @@ run bench.py --config 2 --frames 3 --rpt 128
 # worse — expect neutral-to-small-loss; measure, don't assume).
 run bench.py --frames 4 --sort-rays entry
 
+# hero: finer packets under today's sorted kernels (sim: rpt256 cuts
+# tests ~12%; the round-2 "rpt1024 best" measurement predates sorting).
+run bench.py --frames 4 --rpt 512
+run bench.py --frames 4 --rpt 256
+
 # multi-queue NEE cost on the hero (ratio target ~1.2 vs non-NEE
 # baseline; current immediate-resolve ratio 1.575).
 run bench.py --frames 3 --nee

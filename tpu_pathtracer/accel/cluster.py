@@ -127,13 +127,31 @@ class ClusterAccel:
                 entry_rank, entry_sort_key, sort_by_key,
             )
 
-            # posinv[o, c] = position of cluster c in octant o's
-            # front-to-back order (argsort of a permutation inverts it).
-            posinv = jnp.argsort(self.order, axis=1)
-            rank = entry_rank(
-                origins, directions, self.aabb8, posinv,
-                t_min=float(cfg.t_min), t_max=float(cfg.t_max),
-            )
+            # The bucketing label must match the KERNEL's visit order
+            # (probe_bucket_v2: rank-major keys HURT the 98k field, whose
+            # streamed kernel visits Morton blocks, not front-to-back):
+            # * in-VMEM flat/hier kernels -> rank in the octant's
+            #   front-to-back order, octant major;
+            # * HBM-streamed block-major kernel -> the entry cluster's
+            #   MORTON ID, id major (octant below).
+            streamed = self.tris16.size * 4 > 6 * 1024 * 1024
+            if streamed:
+                from tpu_pathtracer.ops.intersect_pallas import (
+                    entry_nearest_id,
+                )
+
+                rank = entry_nearest_id(
+                    origins, directions, self.aabb8,
+                    t_min=float(cfg.t_min), t_max=float(cfg.t_max),
+                )
+            else:
+                # posinv[o, c] = position of cluster c in octant o's
+                # front-to-back order (argsort inverts a permutation).
+                posinv = jnp.argsort(self.order, axis=1)
+                rank = entry_rank(
+                    origins, directions, self.aabb8, posinv,
+                    t_min=float(cfg.t_min), t_max=float(cfg.t_max),
+                )
             octant = (
                 (directions[:, 0] > 0).astype(jnp.int32)
                 + 2 * (directions[:, 1] > 0).astype(jnp.int32)
@@ -142,6 +160,7 @@ class ClusterAccel:
             key = entry_sort_key(
                 octant, rank, self.num_clusters,
                 directions=directions, dir_bits=db,
+                octant_major=not streamed,
             )
             return sort_by_key(origins, directions, key)
         bits = cfg.sort_spatial_bits

@@ -1213,20 +1213,111 @@ def entry_rank(
     return rank.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "block"))
+def entry_nearest_id(
+    origins: jnp.ndarray,      # [N,3]
+    directions: jnp.ndarray,   # [N,3]
+    aabb8: jnp.ndarray,        # [C,8] f32 cluster bounds
+    t_min: float = 0.01,
+    t_max: float = 1e16,
+    block: int = 128,
+) -> jnp.ndarray:
+    """[N] i32: Morton ID of the NEAREST slab-overlapped cluster (entry
+    distance = max(tnear, t_min); ties -> lower id; C where none).
+
+    The bucketing label for the HBM-streamed block-major kernel, whose
+    visit order is the Morton block order: a bounce ray's nearest
+    overlapped cluster is (almost always) the cluster it originates on,
+    so sorting by it groups tiles by spatial cluster — what block-major
+    slab unions reward.  Same blocked-scan cost shape as entry_rank."""
+    n = origins.shape[0]
+    c = aabb8.shape[0]
+    ox, oy, oz = origins[:, 0:1], origins[:, 1:2], origins[:, 2:3]
+    big = jnp.float32(3.4e38)
+    inv = jnp.where(jnp.abs(directions) > 1e-12, 1.0 / directions, big)
+    ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
+
+    c_pad = -(-c // block) * block
+    if c_pad > c:
+        pad = jnp.full((c_pad - c, 8), 3.0e37, aabb8.dtype)
+        aabb8 = jnp.concatenate([aabb8, pad], axis=0)
+
+    def body(carry, inp):
+        best_t, best_id = carry
+        b, base = inp                                         # [B,8], i32
+        bminx, bminy, bminz = b[None, :, 0], b[None, :, 1], b[None, :, 2]
+        bmaxx, bmaxy, bmaxz = b[None, :, 3], b[None, :, 4], b[None, :, 5]
+        tx0 = (bminx - ox) * ix
+        tx1 = (bmaxx - ox) * ix
+        ty0 = (bminy - oy) * iy
+        ty1 = (bmaxy - oy) * iy
+        tz0 = (bminz - oz) * iz
+        tz1 = (bmaxz - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        overlap = (tnear <= tfar) & (tfar >= t_min) & (tnear <= t_max)
+        entry_t = jnp.where(
+            overlap, jnp.maximum(tnear, jnp.float32(t_min)), jnp.inf
+        )
+        blk_t = jnp.min(entry_t, axis=1)                      # [N]
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, entry_t.shape, 1)
+        blk_id = jnp.min(
+            jnp.where(entry_t == blk_t[:, None], ids, jnp.int32(c)), axis=1
+        )
+        take = blk_t < best_t                                 # strict: ties
+        #                                                       keep earlier
+        #                                                       (lower) id
+        return (
+            jnp.minimum(best_t, blk_t),
+            jnp.where(take, blk_id, best_id),
+        ), None
+
+    blocks = aabb8.reshape(c_pad // block, block, 8)
+    bases = (jnp.arange(c_pad // block, dtype=jnp.int32) * block)
+    (_, best_id), _ = jax.lax.scan(
+        body,
+        (jnp.full((n,), jnp.inf, jnp.float32), jnp.full((n,), c, jnp.int32)),
+        (blocks, bases),
+    )
+    return best_id
+
+
 def entry_sort_key(
     octant: jnp.ndarray,       # [N] i32 (or None -> computed from dirs)
     rank: jnp.ndarray,         # [N] i32 in [0, C]
     num_clusters: int,
     directions: jnp.ndarray = None,
     dir_bits: int = 0,
+    octant_major: bool = True,
 ) -> jnp.ndarray:
-    """[N] u32 sort key: octant major, entry rank below it, optional
-    direction-magnitude bits as the tiebreak inside a bucket.  Adjacent
-    buckets are front-to-back adjacent clusters of the same octant, so a
-    packet spanning a bucket boundary stays nearly coherent."""
+    """[N] u32 sort key: (octant, entry rank) with optional direction-
+    magnitude tiebreak bits.
+
+    octant_major=True — octant above the rank: right for the in-VMEM
+    flat/hier kernels, whose per-packet visit order IS the octant's
+    front-to-back cluster order (rank = position in that order; adjacent
+    buckets are front-to-back adjacent).
+
+    octant_major=False — rank above the octant: for the HBM-streamed
+    block-major kernel, whose visit order is the Morton block order
+    regardless of octant; `rank` should then be the entry cluster's
+    MORTON ID (pass identity posinv to entry_rank) so packets group by
+    spatial cluster first, direction second."""
     rank_bits = max(1, int(np.ceil(np.log2(num_clusters + 1))))
     dir_bits = min(dir_bits, max(0, (32 - 3 - rank_bits) // 3))
-    key = (octant.astype(jnp.uint32) << rank_bits) | rank.astype(jnp.uint32)
+    if octant_major:
+        key = (
+            (octant.astype(jnp.uint32) << rank_bits)
+            | rank.astype(jnp.uint32)
+        )
+    else:
+        key = (rank.astype(jnp.uint32) << 3) | octant.astype(jnp.uint32)
     if dir_bits:
         cells = jnp.float32((1 << dir_bits) - 1)
         mag = (jnp.clip(jnp.abs(directions), 0.0, 1.0) * cells).astype(
