@@ -129,8 +129,28 @@ def main():
         packed = jnp.concatenate(
             [o, d, tt0[:, None], tc0.astype(jnp.float32)[:, None]], axis=-1
         )
-        for mode in ("spatial", "entry"):
-            os_, ds_, restore = acc._sorted_rays(mode, o, d, cfg)
+        def sorted_by(mode):
+            if mode in ("spatial", "entry"):
+                return acc._sorted_rays(mode, o, d, cfg)
+            # experimental: nearest-overlapped-cluster Morton id keys
+            from tpu_pathtracer.ops.intersect_pallas import (
+                entry_nearest_id, entry_sort_key, sort_by_key,
+            )
+
+            nid = entry_nearest_id(o, d, acc.aabb8)
+            octant = (
+                (d[:, 0] > 0).astype(jnp.int32)
+                + 2 * (d[:, 1] > 0).astype(jnp.int32)
+                + 4 * (d[:, 2] > 0).astype(jnp.int32)
+            )
+            key = entry_sort_key(
+                octant, nid, c, directions=d, dir_bits=acc._dir_bits(cfg),
+                octant_major=(mode == "nid_oct"),
+            )
+            return sort_by_key(o, d, key)
+
+        for mode in ("spatial", "entry", "nid_oct", "nid_major"):
+            os_, ds_, restore = sorted_by(mode)
             # Recover the permutation by sorting a tagged row alongside:
             # restore() inverts it, so apply the FORWARD permutation to
             # the truth rows by sorting packed the same way.
