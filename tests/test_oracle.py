@@ -148,3 +148,41 @@ def test_oracle_nee_mis_spec():
     )
     frac = compare(scene, cfg, Camera())
     assert frac >= 0.98
+
+
+@pytest.mark.slow
+def test_oracle_ssim_hero_crop():
+    """Whole-image SSIM gate vs the oracle on a hero-scene crop — the
+    reduced-size version of tools/parity_oracle_ssim.py (full artifact:
+    96x54 @ 64 spp -> SSIM 1.00000 reference-RR / 0.99996 NEE+MIS,
+    artifacts/parity_report.json["oracle_ssim"])."""
+    from tpu_pathtracer import oracle
+    from tpu_pathtracer.render.film import post_process
+    from tpu_pathtracer.scene.builder import load_scene
+    from tpu_pathtracer.scene.scene import make_env
+    from tpu_pathtracer.utils.image import procedural_hdr
+    from tpu_pathtracer.utils.ssim import ssim
+
+    if not os.path.exists(f"{REF}/suitcase.obj"):
+        pytest.skip("reference assets unavailable")
+    env = make_env(procedural_hdr(32, 64))
+    scene = load_scene(
+        [f"{REF}/suitcase.obj", f"{REF}/test.obj"], scale=0.05, env=env,
+        rng_seed=0,
+    )
+    cfg = RenderConfig(
+        width=32, height=18, samples_per_launch=8, max_depth=6, dof=False,
+        env_mode="equirect", intersector="brute", regenerate=False,
+        rr_mode="reference",
+    )
+    camera = Camera(eye=(0, 2, 6), lookat=(0, 0.5, 0)).with_aspect(32, 18)
+    cam = camera_arrays(camera, cfg)
+    img_jax = np.asarray(render_frame(scene, cam, cfg, jnp.int32(0)))
+    img_orc = oracle.render(scene, cam, cfg, range(32 * 18), 0).reshape(
+        18, 32, 3
+    )
+    s = float(ssim(
+        np.asarray(post_process(jnp.asarray(img_jax), cfg)),
+        np.asarray(post_process(jnp.asarray(img_orc), cfg)),
+    ))
+    assert s >= 0.99, s
