@@ -419,3 +419,33 @@ def test_nee_multi_queue_shadow_accounting():
     assert np.all(np.isfinite(np.asarray(img)))
     sh = int(stats["shadow_segments"])
     assert 0 < sh <= int(stats["segments"])
+
+
+def test_nee_multi_queue_with_mis_and_defensive():
+    """mq composes with spec-lobe MIS and the defensive mixture: finite,
+    deterministic, and statistically equal to immediate resolve."""
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+    from tpu_pathtracer.scene.procedural import three_spheres_scene
+
+    env = envmap.with_importance_sampling(
+        make_env(procedural_hdr(16, 32, sun_intensity=100.0))
+    )
+    scene = three_spheres_scene(stacks=6, slices=12).replace(env=env)
+    base = dict(
+        width=24, height=16, samples_per_launch=32, max_depth=5, dof=False,
+        env_mode="equirect", intersector="brute", rr_mode="standard",
+        env_importance_sampling=True, regenerate=False,
+        nee_mis_spec=True, nee_defensive_mix=True,
+    )
+    cam = camera_arrays(
+        Camera(eye=(0, 2, 8), lookat=(0, 1, 0)).with_aspect(24, 16),
+        RenderConfig(**base),
+    )
+    img = {}
+    for mqv in ("off", "on"):
+        cfg = RenderConfig(nee_multi_queue=mqv, **base)
+        img[mqv] = np.asarray(render_frame(scene, cam, cfg, jnp.int32(0)))
+        assert np.all(np.isfinite(img[mqv]))
+    rel = abs(img["on"].mean() - img["off"].mean()) / img["off"].mean()
+    assert rel < 0.05, rel
