@@ -100,6 +100,60 @@ def test_indivisible_rejected(scene):
         )
 
 
+def test_weak_scaling_per_device_work(scene):
+    """VERDICT r4 #4 done-condition: assert sharding DIVIDES the work —
+    each device traces ~1/N of the path segments — not just that the
+    stitched output is bitwise-equal (a replicate-then-slice bug would
+    pass the bitwise tests while making every chip pay the full frame)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_pathtracer.parallel.shard import shard_map
+    from tpu_pathtracer.render.integrator import (
+        render_frame_stats,
+        render_pixels,
+    )
+
+    cfg = cfg_()
+    cam = camera_arrays(Camera(), cfg)
+    _, stats = render_frame_stats(scene, cam, cfg, jnp.int32(0))
+    total = int(stats["segments"])
+    assert total > 0
+
+    ndev = 8
+    mesh = make_mesh(ndev)
+    chunk = (cfg.width * cfg.height) // ndev
+
+    def worker(scene, cam, subframe):
+        base = jax.lax.axis_index("dp").astype(jnp.int32) * chunk
+        img, st = render_pixels(
+            scene, cam, cfg, (base, chunk), subframe, return_stats=True
+        )
+        return img, st["segments"][None]
+
+    img, per_dev = shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("dp"), P("dp")),
+    )(scene, cam, jnp.int32(0))
+    per_dev = np.asarray(per_dev)
+    assert per_dev.shape == (ndev,)
+    # Exactly the single-device work, partitioned (same pixels, same seeds).
+    assert per_dev.sum() == total
+    # Every device does a strict fraction, and the split is balanced.
+    assert per_dev.max() < 0.5 * total
+    assert per_dev.max() <= 2.0 * per_dev.mean()
+    # The stitched shards reproduce the frame.  Bitwise sharded==single is
+    # test_pixel_sharding_bitwise's job; this stats-carrying worker compiles
+    # to a slightly different fusion (1-ulp reassociation on ~0.1% pixels),
+    # so the cross-check here is tolerance-based.
+    single = np.asarray(render_frame(scene, cam, cfg, jnp.int32(0)))
+    np.testing.assert_allclose(
+        np.asarray(img).reshape(cfg.height, cfg.width, 3), single,
+        rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_pixel_sharding_streaming_path(scene):
     # Force the streaming work-queue renderer inside shard_map workers.
     cfg = cfg_(stream_lanes=2)
