@@ -104,6 +104,9 @@ def main() -> int:
                     help="multi-queue NEE (config.nee_multi_queue)")
     ap.add_argument("--rpt", type=int, default=0,
                     help="Pallas rays per tile (0 = auto)")
+    ap.add_argument("--tri-test", default="auto",
+                    choices=["auto", "mt", "bw"],
+                    help="triangle-test formulation (config.tri_test)")
     ap.add_argument(
         "--config", type=int, default=0, choices=range(6),
         help="BASELINE.json benchmark config preset (1-5); 0 = headline "
@@ -265,6 +268,7 @@ def _run(args) -> int:
         sort_rays=args.sort_rays,
         pallas_rays_per_tile=args.rpt,
         nee_multi_queue=args.mq,
+        tri_test=args.tri_test,
         **({"stream_lanes": args.lanes} if args.lanes else {}),
     )
     if args.accel not in ("brute", "auto") and scene.accel is None:

@@ -73,6 +73,89 @@ def test_pack_cluster_tris_layout():
     np.testing.assert_allclose(packed[0, 1:, :], 0.0)
 
 
+def test_pack_cluster_tris_bw_layout():
+    from tpu_pathtracer.ops.intersect_pallas import pack_cluster_tris_bw
+
+    verts = np.asarray(
+        [[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32
+    )
+    packed = pack_cluster_tris_bw(verts, cluster_size=4)
+    assert packed.shape == (1, 4, 16)
+    # Unit right triangle in z=0 plane: n = e1 x e2 = +z, d0 = 0,
+    # p1 = e2 x n / |n|^2 = (1,0,0), p2 = n x e1 = (0,1,0), c1 = c2 = 0.
+    np.testing.assert_allclose(packed[0, 0, 0:3], [0, 0, 1])   # n
+    np.testing.assert_allclose(packed[0, 0, 3], 0.0)           # d0
+    np.testing.assert_allclose(packed[0, 0, 4:7], [1, 0, 0])   # p1
+    np.testing.assert_allclose(packed[0, 0, 7], 0.0)           # c1
+    np.testing.assert_allclose(packed[0, 0, 8:11], [0, 1, 0])  # p2
+    np.testing.assert_allclose(packed[0, 0, 11], 0.0)          # c2
+    # padding triangles are all-zero (n = 0 -> den == 0 culls)
+    np.testing.assert_allclose(packed[0, 1:, :], 0.0)
+    # degenerate (zero-area) real triangle also packs to a culled row
+    degen = np.asarray([[[1, 2, 3], [1, 2, 3], [1, 2, 3]]], np.float32)
+    np.testing.assert_allclose(pack_cluster_tris_bw(degen, 4)[0, 0, :], 0.0)
+
+
+def test_bw_tri_test_matches_mt(clustered):
+    """tri_test="bw" (Baldwin–Weber rows) agrees with the MT kernel:
+    identical hit decisions and prims on the probe ray set, t/uv to
+    formulation-reassociation tolerance (tools/probe_tri_test.py measured
+    max rel t err ~1e-4)."""
+    rs = np.random.RandomState(2)
+    n = 256
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    assert acc.tris16bw is not None
+    bt_m, bp_m, buv_m = intersect_clusters_pallas(
+        acc.tris16, acc.aabb8, acc.order, o, d, 0.01, 1e16,
+        rays_per_tile=128, interpret=True,
+    )
+    bt_b, bp_b, buv_b = intersect_clusters_pallas(
+        acc.tris16bw, acc.aabb8, acc.order, o, d, 0.01, 1e16,
+        rays_per_tile=128, interpret=True, tri_test="bw",
+    )
+    np.testing.assert_array_equal(np.asarray(bp_b), np.asarray(bp_m))
+    hit = np.asarray(bp_m) != 0x7FFFFFFF
+    assert hit.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(bt_b)[hit], np.asarray(bt_m)[hit], rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(buv_b)[hit], np.asarray(buv_m)[hit], rtol=5e-3, atol=5e-5
+    )
+
+
+def test_bw_render_matches_mt_end_to_end(clustered):
+    """Full interpret-mode render with cfg.tri_test="bw" vs "mt" — the
+    whole integrator (closest-hit + shading + film) stays visually
+    identical; only discrete-decision flips from the t reassociation may
+    differ on isolated lanes."""
+    import os
+
+    from tpu_pathtracer.config import RenderConfig
+    from tpu_pathtracer.render.camera import Camera
+    from tpu_pathtracer.render.integrator import camera_arrays, render_frame
+
+    cfg = dict(
+        width=24, height=16, samples_per_launch=2, max_depth=3,
+        dof=False, env_mode="constant", intersector="cluster",
+    )
+    cam = camera_arrays(Camera(), RenderConfig(**cfg))
+    os.environ["TPU_PT_PALLAS_INTERPRET"] = "1"
+    try:
+        img_m = np.asarray(render_frame(
+            clustered, cam, RenderConfig(**cfg, tri_test="mt"), jnp.int32(0)
+        ))
+        img_b = np.asarray(render_frame(
+            clustered, cam, RenderConfig(**cfg, tri_test="bw"), jnp.int32(0)
+        ))
+    finally:
+        del os.environ["TPU_PT_PALLAS_INTERPRET"]
+    close = np.isclose(img_b, img_m, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.995, f"bw vs mt pixel agreement {close.mean()}"
+
+
 def test_occlusion_kernel_matches_brute(clustered):
     from tpu_pathtracer.ops.intersect import occluded_brute
     from tpu_pathtracer.ops.intersect_pallas import occluded_clusters_pallas

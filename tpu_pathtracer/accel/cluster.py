@@ -49,7 +49,7 @@ class ClusterAccel:
     # Pallas kernel layouts (ops/intersect_pallas): component-row triangle
     # clusters, 8-wide AABB rows, per-octant front-to-back visit orders,
     # and the scene bounds used for ray sort keys.
-    tris16: jnp.ndarray     # [C,16,K] f32
+    tris16: jnp.ndarray     # [C,K,16] f32 (pack_cluster_tris layout)
     aabb8: jnp.ndarray      # [C,8] f32
     order: jnp.ndarray      # [8,C] i32
     scene_lo: jnp.ndarray   # [3] f32
@@ -60,6 +60,10 @@ class ClusterAccel:
     aabb8_child: jnp.ndarray = None   # [S*B,8] f32
     aabb8_super: jnp.ndarray = None   # [S,8] f32
     order_super: jnp.ndarray = None   # [8,S] i32
+    # Baldwin–Weber packed rows (pack_cluster_tris_bw) for tri_test="bw";
+    # same [C,K,16] shape as tris16 so the kernels swap operand + static
+    # test name only.  None when built by an older cache entry.
+    tris16bw: jnp.ndarray = None      # [C,K,16] f32
     # static metadata
     cluster_size: int = struct.field(pytree_node=False, default=128)
     super_branch: int = struct.field(pytree_node=False, default=8)
@@ -101,6 +105,18 @@ class ClusterAccel:
         # removed the per-cluster scalar overhead (sphere field 7.6 s at
         # 512 vs 8.2 at 1024); flat-kernel scenes prefer 1024.
         return 512 if self.num_clusters >= cfg.hier_min_clusters else 1024
+
+    def _tri(self, cfg):
+        """Resolve cfg.tri_test to (name, packed [C,K,16] operand) for the
+        Pallas kernels.  "bw" = Baldwin–Weber precomputed-transform rows
+        (~20% fewer VPU ops/test, tools/probe_tri_test.py); "auto" = "mt"
+        pending the sweep-G hardware adoption A/B.  Falls back to "mt"
+        when the accel predates the bw packing (old cache entry).  The
+        XLA fallback path always uses MT."""
+        mode = "mt" if cfg.tri_test == "auto" else cfg.tri_test
+        if mode == "bw" and self.tris16bw is None:
+            mode = "mt"
+        return mode, (self.tris16bw if mode == "bw" else self.tris16)
 
     def _dir_bits(self, cfg) -> int:
         """Resolve cfg.sort_dir_bits for this scene.
@@ -186,6 +202,7 @@ class ClusterAccel:
         vmem_bytes = self.tris16.size * 4
         use_pallas, interp = _pallas_route(cfg)
         if use_pallas:
+            tri_name, tri_arr = self._tri(cfg)
             # Octant-sorted packets cull dramatically better on
             # multi-cluster scenes (every lane then agrees with the
             # packet's front-to-back visit order); ~1 ms of sort+gather
@@ -210,7 +227,7 @@ class ClusterAccel:
                 )
 
                 best_t, best_prim, bary = intersect_clusters_pallas_hier(
-                    self.tris16,
+                    tri_arr,
                     self.aabb8_child,
                     self.aabb8_super,
                     self.order_super,
@@ -222,6 +239,7 @@ class ClusterAccel:
                     branch=self.super_branch,
                     vmem_headroom=cfg.vmem_headroom,
                     interpret=interp,
+                    tri_test=tri_name,
                 )
             elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
@@ -229,7 +247,7 @@ class ClusterAccel:
                 )
 
                 best_t, best_prim, bary = intersect_clusters_pallas(
-                    self.tris16,
+                    tri_arr,
                     self.aabb8,
                     self.order,
                     origins,
@@ -239,6 +257,7 @@ class ClusterAccel:
                     rays_per_tile=self._rpt(cfg),
                     vmem_headroom=cfg.vmem_headroom,
                     interpret=interp,
+                    tri_test=tri_name,
                 )
             else:
                 # Beyond the VMEM budget: stream cluster blocks HBM->VMEM
@@ -252,7 +271,7 @@ class ClusterAccel:
                 )
 
                 best_t, best_prim, bary = intersect_clusters_pallas_streamed(
-                    self.tris16,
+                    tri_arr,
                     self.aabb8,
                     origins,
                     directions,
@@ -266,6 +285,7 @@ class ClusterAccel:
                     branch=2 * self.super_branch,
                     vmem_headroom=cfg.vmem_headroom,
                     interpret=interp,
+                    tri_test=tri_name,
                 )
             if sort:
                 # Un-permute via ONE small-table gather (pack the four
@@ -326,6 +346,7 @@ class ClusterAccel:
         vmem_bytes = self.tris16.size * 4
         use_pallas, interp = _pallas_route(cfg)
         if use_pallas:
+            tri_name, tri_arr = self._tri(cfg)
             sort = self._want_sort(cfg)
             if active is not None and sort:
                 park = self.scene_hi + (self.scene_hi - self.scene_lo) + 1.0
@@ -349,13 +370,14 @@ class ClusterAccel:
                 )
 
                 occ = occluded_clusters_pallas_hier(
-                    self.tris16, self.aabb8_child, self.aabb8_super,
+                    tri_arr, self.aabb8_child, self.aabb8_super,
                     self.order_super, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     branch=self.super_branch,
                     vmem_headroom=cfg.vmem_headroom,
                     interpret=interp,
+                    tri_test=tri_name,
                 )
             elif vmem_bytes <= 6 * 1024 * 1024:
                 from tpu_pathtracer.ops.intersect_pallas import (
@@ -363,11 +385,12 @@ class ClusterAccel:
                 )
 
                 occ = occluded_clusters_pallas(
-                    self.tris16, self.aabb8, self.order, origins, directions,
+                    tri_arr, self.aabb8, self.order, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     vmem_headroom=cfg.vmem_headroom,
                     interpret=interp,
+                    tri_test=tri_name,
                 )
             else:
                 # Big scene: streamed two-level any-hit — shadow rays no
@@ -379,12 +402,13 @@ class ClusterAccel:
                 )
 
                 occ = occluded_clusters_pallas_streamed(
-                    self.tris16, self.aabb8, origins, directions,
+                    tri_arr, self.aabb8, origins, directions,
                     t_min=float(t_min), t_max=float(t_max),
                     rays_per_tile=self._rpt(cfg),
                     branch=2 * self.super_branch,   # see intersect() note
                     vmem_headroom=cfg.vmem_headroom,
                     interpret=interp,
+                    tri_test=tri_name,
                 )
             return restore(occ) if sort else occ
         return self._occluded_xla(vertices, origins, directions, t_min, t_max)
@@ -536,7 +560,11 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128, super_bra
     amin = blocks.reshape(c, -1, 3).min(axis=1)
     amax = blocks.reshape(c, -1, 3).max(axis=1)
 
-    from tpu_pathtracer.ops.intersect_pallas import octant_orders, pack_cluster_tris
+    from tpu_pathtracer.ops.intersect_pallas import (
+        octant_orders,
+        pack_cluster_tris,
+        pack_cluster_tris_bw,
+    )
 
     aabb8 = np.zeros((c, 8), np.float32)
     aabb8[:, 0:3] = amin
@@ -573,6 +601,7 @@ def build_cluster_accel(vertices: np.ndarray, cluster_size: int = 128, super_bra
         aabb8_child=jnp.asarray(child),
         aabb8_super=jnp.asarray(super8),
         order_super=jnp.asarray(octant_orders(super8)),
+        tris16bw=jnp.asarray(pack_cluster_tris_bw(vertices, cluster_size)),
         cluster_size=cluster_size,
         super_branch=branch,
     )

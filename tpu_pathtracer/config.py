@@ -188,6 +188,12 @@ class RenderConfig:
     # tests — cluster-bucketed ray compaction without new kernels
     # (tools/probe_bucket_opportunity.py measures the per-scene bound).
     sort_rays: str = "auto"  # "auto" | "off" | "octant" | "spatial" | "entry"
+    # Triangle-test formulation inside the Pallas kernels.  "mt" =
+    # Möller–Trumbore; "bw" = Baldwin–Weber precomputed-transform rows
+    # (~20% fewer VPU ops per test — t from a plane test, u/v affine in
+    # the hit point; tools/probe_tri_test.py prices both).  "auto" = mt
+    # until the hardware A/B adopts bw.  The XLA fallback always uses mt.
+    tri_test: str = "auto"  # "auto" | "mt" | "bw"
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
     # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,
     # tower 2.35->2.29 s), 5 for spread ones (766-cluster field: 8.2 vs
@@ -323,6 +329,8 @@ class RenderConfig:
             )
         if self.sort_rays not in ("auto", "off", "octant", "spatial", "entry"):
             raise ValueError(f"invalid sort_rays: {self.sort_rays!r}")
+        if self.tri_test not in ("auto", "mt", "bw"):
+            raise ValueError(f"invalid tri_test: {self.tri_test!r}")
         if self.texture_lod not in ("auto", "off", "mip", "split"):
             raise ValueError(f"invalid texture_lod: {self.texture_lod!r}")
         if not (0 <= self.sort_spatial_bits <= 9):

@@ -157,6 +157,46 @@ def _mt_tests(tri, pr, t_min, t_max):
     return jnp.where(ok, t, jnp.float32(jnp.inf)), u, v
 
 
+def _bw_tests(tri, pr, t_min, t_max):
+    """Baldwin–Weber precomputed-transform test of one (K,16) cluster
+    against the (1,R) packet — same contract as `_mt_tests` but ~20%
+    fewer VPU ops (tools/probe_tri_test.py prices both): t comes from a
+    plane test against the precomputed normal, u/v are affine in the hit
+    point.  Rows (pack_cluster_tris_bw): n(0:3), d0=n.v0(3), p1(4:7),
+    c1=-p1.v0(7), p2(8:11), c2=-p2.v0(11); padding rows are all-zero =>
+    den==0 culls them exactly like MT's det==0."""
+    ox, oy, oz, dx, dy, dz, _, _, _ = pr
+    nx, ny, nz = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+    d0 = tri[:, 3:4]
+    p1x, p1y, p1z, c1 = tri[:, 4:5], tri[:, 5:6], tri[:, 6:7], tri[:, 7:8]
+    p2x, p2y, p2z, c2 = tri[:, 8:9], tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+
+    den = nx * dx + ny * dy + nz * dz
+    num = d0 - (nx * ox + ny * oy + nz * oz)
+    rcp = jnp.where(jnp.abs(den) > 1e-12, 1.0 / den, 0.0)
+    t = num * rcp
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    u = p1x * hx + p1y * hy + p1z * hz + c1
+    v = p2x * hx + p2y * hy + p2z * hz + c2
+    ok = (
+        (jnp.abs(den) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return jnp.where(ok, t, jnp.float32(jnp.inf)), u, v
+
+
+# Triangle-test formulation registry: every kernel body takes a static
+# `tri_test` name and the caller passes the matching packed operand
+# (pack_cluster_tris vs pack_cluster_tris_bw — same [C,K,16] shape).
+_TRI_TESTS = {"mt": _mt_tests, "bw": _bw_tests}
+
+
 def _mt_best(tc, u, v, c, cluster_k):
     """Reduce one cluster's (K,R) candidates to per-lane winners: (1,R)
     rows (t, prim, u, v).  Prim ties resolve to the lowest global id, and
@@ -231,6 +271,7 @@ def _cluster_kernel(
     cluster_k: int,
     t_min: float,
     t_max: float,
+    tri_test: str = "mt",
 ):
     pr = _packet_rays(
         rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],
@@ -253,7 +294,7 @@ def _cluster_kernel(
 
         @pl.when(jnp.any(overlap))
         def _():
-            tc, u, v = _mt_tests(tris_ref[c], pr, t_min, t_max)
+            tc, u, v = _TRI_TESTS[tri_test](tris_ref[c], pr, t_min, t_max)
             t_blk, prim_blk, u_blk, v_blk = _mt_best(tc, u, v, c, cluster_k)
             best = t_acc[:]
             improved = t_blk < best
@@ -290,6 +331,7 @@ def _cluster_kernel_hier(
     cluster_k: int,
     t_min: float,
     t_max: float,
+    tri_test: str = "mt",
 ):
     """Two-level packet traversal: a supercluster (group of `branch`
     Morton-consecutive clusters) is slab-tested ONCE and skipped with one
@@ -323,7 +365,7 @@ def _cluster_kernel_hier(
                 def _():
                     # Padding children are far point boxes and never get
                     # here; clamp anyway so the VMEM read stays in bounds.
-                    tc, u, v = _mt_tests(
+                    tc, u, v = _TRI_TESTS[tri_test](
                         tris_ref[jnp.minimum(c, num_clusters - 1)],
                         pr, t_min, t_max,
                     )
@@ -352,7 +394,7 @@ def _cluster_kernel_hier(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rays_per_tile", "branch", "t_min", "t_max", "interpret", "vmem_headroom"),
+    static_argnames=("rays_per_tile", "branch", "t_min", "t_max", "interpret", "vmem_headroom", "tri_test"),
 )
 def intersect_clusters_pallas_hier(
     tris16: jnp.ndarray,     # [C,K,16] f32
@@ -367,6 +409,7 @@ def intersect_clusters_pallas_hier(
     branch: int = 8,
     interpret: bool = False,
     vmem_headroom: float = 1.0,
+    tri_test: str = "mt",
 ):
     """Two-level closest hit; same returns as intersect_clusters_pallas."""
     n = origins.shape[0]
@@ -390,6 +433,7 @@ def intersect_clusters_pallas_hier(
         cluster_k=k,
         t_min=t_min,
         t_max=t_max,
+        tri_test=tri_test,
     )
     best_t, best_prim, best_uv = pl.pallas_call(
         kernel,
@@ -444,6 +488,7 @@ def _occlusion_kernel(
     num_clusters: int,
     t_min: float,
     t_max: float,
+    tri_test: str = "mt",
 ):
     """Any-hit query (the reference's `traceOcclusion`, optixSphere.cu:
     134-156 — dead code there, live here for NEE shadow rays).
@@ -474,7 +519,7 @@ def _occlusion_kernel(
 
         @pl.when(jnp.any(overlap))
         def _():
-            tc, _u, _v = _mt_tests(tris_ref[c], pr, t_min, t_max)
+            tc, _u, _v = _TRI_TESTS[tri_test](tris_ref[c], pr, t_min, t_max)
             hit_any = jnp.any(tc < jnp.inf, axis=0, keepdims=True)  # (1,R)
             occ_acc[:] = jnp.maximum(occ_acc[:], hit_any.astype(jnp.int32))
 
@@ -499,6 +544,7 @@ def _occlusion_kernel_hier(
     num_clusters: int,
     t_min: float,
     t_max: float,
+    tri_test: str = "mt",
 ):
     """Two-level any-hit: one scalar slab test skips `branch` clusters at
     a time, and the super loop EARLY-EXITS once every ray in the packet
@@ -534,7 +580,7 @@ def _occlusion_kernel_hier(
 
                 @pl.when(jnp.any(hit_c))
                 def _():
-                    tc, _u, _v = _mt_tests(
+                    tc, _u, _v = _TRI_TESTS[tri_test](
                         tris_ref[jnp.minimum(c, num_clusters - 1)],
                         pr, t_min, t_max,
                     )
@@ -557,7 +603,8 @@ def _occlusion_kernel_hier(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "rays_per_tile", "branch", "t_min", "t_max", "interpret", "vmem_headroom"
+        "rays_per_tile", "branch", "t_min", "t_max", "interpret",
+        "vmem_headroom", "tri_test",
     ),
 )
 def occluded_clusters_pallas_hier(
@@ -573,6 +620,7 @@ def occluded_clusters_pallas_hier(
     branch: int = 8,
     interpret: bool = False,
     vmem_headroom: float = 1.0,
+    tri_test: str = "mt",
 ) -> jnp.ndarray:
     """Two-level any-hit; returns occluded [N] bool."""
     n = origins.shape[0]
@@ -595,6 +643,7 @@ def occluded_clusters_pallas_hier(
         num_clusters=c,
         t_min=t_min,
         t_max=t_max,
+        tri_test=tri_test,
     )
     occ = pl.pallas_call(
         kernel,
@@ -624,7 +673,7 @@ def occluded_clusters_pallas_hier(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rays_per_tile", "t_min", "t_max", "interpret", "vmem_headroom"),
+    static_argnames=("rays_per_tile", "t_min", "t_max", "interpret", "vmem_headroom", "tri_test"),
 )
 def occluded_clusters_pallas(
     tris16: jnp.ndarray,    # [C,K,16] f32
@@ -637,6 +686,7 @@ def occluded_clusters_pallas(
     rays_per_tile: int = 512,
     interpret: bool = False,
     vmem_headroom: float = 1.0,
+    tri_test: str = "mt",
 ) -> jnp.ndarray:
     """Any-hit over the cluster accel; returns occluded [N] bool."""
     n = origins.shape[0]
@@ -658,6 +708,7 @@ def occluded_clusters_pallas(
         num_clusters=c,
         t_min=t_min,
         t_max=t_max,
+        tri_test=tri_test,
     )
     occ = pl.pallas_call(
         kernel,
@@ -747,6 +798,7 @@ def _cluster_kernel_streamed(
     branch: int,
     t_min: float,
     t_max: float,
+    tri_test: str = "mt",
 ):
     """Block-major two-level HBM-streamed closest hit.
 
@@ -798,7 +850,9 @@ def _cluster_kernel_streamed(
 
                 @pl.when(jnp.any(hit_c) & (c < num_clusters))
                 def _():
-                    tc, u, v = _mt_tests(tris_ref[local], pr, t_min, t_max)
+                    tc, u, v = _TRI_TESTS[tri_test](
+                        tris_ref[local], pr, t_min, t_max
+                    )
                     t_blk, prim_blk, u_blk, v_blk = _mt_best(
                         tc, u, v, c, cluster_k
                     )
@@ -830,7 +884,7 @@ def _cluster_kernel_streamed(
     static_argnames=(
         "rays_per_tile", "block_clusters", "branch", "t_min", "t_max",
         "interpret",
-        "vmem_headroom",
+        "vmem_headroom", "tri_test",
     ),
 )
 def intersect_clusters_pallas_streamed(
@@ -845,6 +899,7 @@ def intersect_clusters_pallas_streamed(
     branch: int = 8,
     interpret: bool = False,
     vmem_headroom: float = 1.0,
+    tri_test: str = "mt",
 ):
     """Block-major two-level streamed closest hit for scenes beyond the
     VMEM cluster budget (see _cluster_kernel_streamed for the grid-order
@@ -870,6 +925,7 @@ def intersect_clusters_pallas_streamed(
         branch=branch,
         t_min=t_min,
         t_max=t_max,
+        tri_test=tri_test,
     )
     # Blocked trailing dims must be (8,128)-divisible or whole, so the
     # tile axis leads everywhere: ray blocks are full (8,R) planes and
@@ -934,6 +990,7 @@ def _occlusion_kernel_streamed(
     branch: int,
     t_min: float,
     t_max: float,
+    tri_test: str = "mt",
 ):
     """Block-major HBM-streamed two-level any-hit (the occlusion analog
     of _cluster_kernel_streamed): NEE shadow rays on big scenes skip
@@ -975,7 +1032,7 @@ def _occlusion_kernel_streamed(
 
                     @pl.when(jnp.any(hit_c) & (c < num_clusters))
                     def _():
-                        tc, _u, _v = _mt_tests(
+                        tc, _u, _v = _TRI_TESTS[tri_test](
                             tris_ref[local], pr, t_min, t_max
                         )
                         hit_any = jnp.any(tc < jnp.inf, axis=0, keepdims=True)
@@ -1001,7 +1058,7 @@ def _occlusion_kernel_streamed(
     static_argnames=(
         "rays_per_tile", "block_clusters", "branch", "t_min", "t_max",
         "interpret",
-        "vmem_headroom",
+        "vmem_headroom", "tri_test",
     ),
 )
 def occluded_clusters_pallas_streamed(
@@ -1016,6 +1073,7 @@ def occluded_clusters_pallas_streamed(
     branch: int = 8,
     interpret: bool = False,
     vmem_headroom: float = 1.0,
+    tri_test: str = "mt",
 ) -> jnp.ndarray:
     """Block-major HBM-streamed two-level any-hit; returns occluded [N]
     bool (closes ADVICE r2 #5 / VERDICT r2 #3: NEE shadow rays on big
@@ -1038,6 +1096,7 @@ def occluded_clusters_pallas_streamed(
         branch=branch,
         t_min=t_min,
         t_max=t_max,
+        tri_test=tri_test,
     )
     occ = pl.pallas_call(
         kernel,
@@ -1405,7 +1464,7 @@ def octant_orders(aabbs: np.ndarray) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rays_per_tile", "t_min", "t_max", "interpret", "vmem_headroom"),
+    static_argnames=("rays_per_tile", "t_min", "t_max", "interpret", "vmem_headroom", "tri_test"),
 )
 def intersect_clusters_pallas(
     tris16: jnp.ndarray,    # [C,K,16] f32 component-column triangle clusters
@@ -1418,6 +1477,7 @@ def intersect_clusters_pallas(
     rays_per_tile: int = 512,
     interpret: bool = False,
     vmem_headroom: float = 1.0,
+    tri_test: str = "mt",
 ):
     """Returns (best_t [N], best_prim [N] — 0x7FFFFFFF where miss,
     bary [N,2] — the winner's (beta, gamma)).
@@ -1447,6 +1507,7 @@ def intersect_clusters_pallas(
         cluster_k=k,
         t_min=t_min,
         t_max=t_max,
+        tri_test=tri_test,
     )
     best_t, best_prim, best_uv = pl.pallas_call(
         kernel,
@@ -1492,4 +1553,34 @@ def pack_cluster_tris(vertices: np.ndarray, cluster_size: int) -> np.ndarray:
     out[:t, 0:3] = v0
     out[:t, 3:6] = vertices[:, 1, :] - v0
     out[:t, 6:9] = vertices[:, 2, :] - v0
+    return np.ascontiguousarray(out.reshape(c, k, 16))
+
+
+def pack_cluster_tris_bw(vertices: np.ndarray, cluster_size: int) -> np.ndarray:
+    """[T,3,3] Morton-permuted vertices -> [C,K,16] Baldwin–Weber rows for
+    `_bw_tests`: n(0:3), d0=n.v0(3), p1(4:7), c1=-p1.v0(7), p2(8:11),
+    c2=-p2.v0(11), rest zero.  Degenerate (zero-area) triangles get n=0
+    rows and are culled by the den==0 guard, matching MT's det==0
+    behaviour; padding rows are all-zero for the same reason."""
+    t = vertices.shape[0]
+    k = cluster_size
+    c = max(1, -(-t // k))
+    out = np.zeros((c * k, 16), np.float32)
+    if t:
+        v0 = vertices[:, 0, :].astype(np.float64)
+        e1 = vertices[:, 1, :].astype(np.float64) - v0
+        e2 = vertices[:, 2, :].astype(np.float64) - v0
+        n = np.cross(e1, e2)
+        nn = (n * n).sum(-1, keepdims=True)
+        ok = nn > 1e-30
+        safe = np.where(ok, nn, 1.0)
+        p1 = np.where(ok, np.cross(e2, n) / safe, 0.0)
+        p2 = np.where(ok, np.cross(n, e1) / safe, 0.0)
+        n = np.where(ok, n, 0.0)
+        out[:t, 0:3] = n
+        out[:t, 3:4] = (n * v0).sum(-1, keepdims=True)
+        out[:t, 4:7] = p1
+        out[:t, 7:8] = -(p1 * v0).sum(-1, keepdims=True)
+        out[:t, 8:11] = p2
+        out[:t, 11:12] = -(p2 * v0).sum(-1, keepdims=True)
     return np.ascontiguousarray(out.reshape(c, k, 16))

@@ -35,7 +35,7 @@ import numpy as np
 
 # Bump when any packed array layout changes (tri_attrs columns, material
 # attr columns, bundle row format, ClusterAccel fields, ...).
-SCHEMA = 1
+SCHEMA = 2  # 2: ClusterAccel.tris16bw (Baldwin–Weber rows)
 
 _MT_STATICS = (
     "bundled",
@@ -73,6 +73,7 @@ _ACCEL_ARRAYS = (
     "aabb8_child",
     "aabb8_super",
     "order_super",
+    "tris16bw",
 )
 _ACCEL_STATICS = ("cluster_size", "super_branch")
 
