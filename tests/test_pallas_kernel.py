@@ -126,6 +126,43 @@ def test_bw_tri_test_matches_mt(clustered):
     )
 
 
+def test_bw_occlusion_matches_mt(clustered):
+    """Any-hit kernels under tri_test="bw" return the same occlusion bits
+    as MT (decision-only query — no tolerance needed beyond the shared
+    probe set's non-grazing rays)."""
+    from tpu_pathtracer.ops.intersect_pallas import occluded_clusters_pallas
+
+    rs = np.random.RandomState(3)
+    n = 256
+    o = jnp.asarray((rs.randn(n, 3) * 3).astype(np.float32))
+    d = jnp.asarray(rs.randn(n, 3).astype(np.float32))
+    acc = clustered.accel
+    occ_m = occluded_clusters_pallas(
+        acc.tris16, acc.aabb8, acc.order, o, d, 0.01, 1e16,
+        rays_per_tile=64, interpret=True,
+    )
+    occ_b = occluded_clusters_pallas(
+        acc.tris16bw, acc.aabb8, acc.order, o, d, 0.01, 1e16,
+        rays_per_tile=64, interpret=True, tri_test="bw",
+    )
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_m))
+    assert np.asarray(occ_m).sum() > 20
+
+
+def test_tri_test_auto_resolves_bw(clustered):
+    """auto = bw (sweep r05h adoption); explicit modes and the pre-bw
+    cache fallback resolve as documented."""
+    from tpu_pathtracer.config import RenderConfig
+
+    acc = clustered.accel
+    assert acc._tri(RenderConfig())[0] == "bw"
+    assert acc._tri(RenderConfig(tri_test="mt"))[0] == "mt"
+    assert acc._tri(RenderConfig(tri_test="bw"))[0] == "bw"
+    old = acc.replace(tris16bw=None)
+    assert old._tri(RenderConfig())[0] == "mt"
+    assert old._tri(RenderConfig(tri_test="bw"))[0] == "mt"
+
+
 def test_bw_render_matches_mt_end_to_end(clustered):
     """Full interpret-mode render with cfg.tri_test="bw" vs "mt" — the
     whole integrator (closest-hit + shading + film) stays visually

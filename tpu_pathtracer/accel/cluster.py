@@ -108,12 +108,15 @@ class ClusterAccel:
 
     def _tri(self, cfg):
         """Resolve cfg.tri_test to (name, packed [C,K,16] operand) for the
-        Pallas kernels.  "bw" = Baldwin–Weber precomputed-transform rows
-        (~20% fewer VPU ops/test, tools/probe_tri_test.py); "auto" = "mt"
-        pending the sweep-G hardware adoption A/B.  Falls back to "mt"
-        when the accel predates the bw packing (old cache entry).  The
-        XLA fallback path always uses MT."""
-        mode = "mt" if cfg.tri_test == "auto" else cfg.tri_test
+        Pallas kernels.  "bw" = Baldwin–Weber precomputed-transform rows.
+        auto = bw: the sweep-G kernel probe measured -15.5% test-loop
+        time (52.2 vs 44.1 G tests/s) and the sweep-H end-to-end A/B won
+        on every config vs same-day baselines — hero 15.45 vs 15.06,
+        monkey 9.66 vs 9.23, 98k field 4.62 vs 4.36 Mrays/s
+        (artifacts/tpu_sweep_r05g/h.log).  Falls back to "mt" when the
+        accel predates the bw packing (old cache entry).  The XLA
+        fallback path always uses MT."""
+        mode = "bw" if cfg.tri_test == "auto" else cfg.tri_test
         if mode == "bw" and self.tris16bw is None:
             mode = "mt"
         return mode, (self.tris16bw if mode == "bw" else self.tris16)

@@ -191,8 +191,9 @@ class RenderConfig:
     # Triangle-test formulation inside the Pallas kernels.  "mt" =
     # Möller–Trumbore; "bw" = Baldwin–Weber precomputed-transform rows
     # (~20% fewer VPU ops per test — t from a plane test, u/v affine in
-    # the hit point; tools/probe_tri_test.py prices both).  "auto" = mt
-    # until the hardware A/B adopts bw.  The XLA fallback always uses mt.
+    # the hit point; tools/probe_tri_test.py prices both).  "auto" = bw:
+    # won the end-to-end A/B on every config (hero +2.5%, monkey +4.6%,
+    # 98k field +6.0% — sweep r05h).  The XLA fallback always uses mt.
     tri_test: str = "auto"  # "auto" | "mt" | "bw"
     # Morton bits per axis for the spatial key (cells = 2^bits per axis).
     # 0 = auto: 7 for compact scenes (< 256 clusters — monkey 3.32->3.22,
