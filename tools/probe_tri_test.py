@@ -93,6 +93,52 @@ def _mt_nodiv_tests(tri, pr, t_min, t_max):
     return jnp.where(ok, t, jnp.float32(jnp.inf)), u, v
 
 
+def _bw_nodiv_tests(tri, pr, t_min, t_max):
+    """BW with the divide replaced by a multiply (WRONG math, right op
+    count): bounds the division's share of the bw loop."""
+    ox, oy, oz, dx, dy, dz, _, _, _ = pr
+    nx, ny, nz = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+    d0 = tri[:, 3:4]
+    p1x, p1y, p1z, c1 = tri[:, 4:5], tri[:, 5:6], tri[:, 6:7], tri[:, 7:8]
+    p2x, p2y, p2z, c2 = tri[:, 8:9], tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+    den = nx * dx + ny * dy + nz * dz
+    num = d0 - (nx * ox + ny * oy + nz * oz)
+    t = num * den                                      # <-- the only change
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    u = p1x * hx + p1y * hy + p1z * hz + c1
+    v = p2x * hx + p2y * hy + p2z * hz + c2
+    ok = (
+        (jnp.abs(den) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < t_max)
+    )
+    return jnp.where(ok, t, jnp.float32(jnp.inf)), u, v
+
+
+def _bw_minok_tests(tri, pr, t_min, t_max):
+    """BW with the 6-compare/5-and validity chain compacted to
+    min-reductions (algebraically identical decisions on finite u/v)."""
+    ox, oy, oz, dx, dy, dz, _, _, _ = pr
+    nx, ny, nz = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+    d0 = tri[:, 3:4]
+    p1x, p1y, p1z, c1 = tri[:, 4:5], tri[:, 5:6], tri[:, 6:7], tri[:, 7:8]
+    p2x, p2y, p2z, c2 = tri[:, 8:9], tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+    den = nx * dx + ny * dy + nz * dz
+    num = d0 - (nx * ox + ny * oy + nz * oz)
+    rcp = jnp.where(jnp.abs(den) > 1e-12, 1.0 / den, 0.0)
+    t = num * rcp
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    u = p1x * hx + p1y * hy + p1z * hz + c1
+    v = p2x * hx + p2y * hy + p2z * hz + c2
+    bary_ok = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v)) >= 0.0
+    ok = bary_ok & (t > t_min) & (t < t_max) & (rcp != 0.0)
+    return jnp.where(ok, t, jnp.float32(jnp.inf)), u, v
+
+
 def _kernel(rays_ref, tris_ref, t_ref, *, test_fn):
     pr = _packet_rays(
         rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],
@@ -109,7 +155,8 @@ def _kernel(rays_ref, tris_ref, t_ref, *, test_fn):
 
 @functools.partial(jax.jit, static_argnames=("name",))
 def run(rays, tris, name):
-    fn = {"mt": _mt_tests, "bw": _bw_tests, "mt_nodiv": _mt_nodiv_tests}[name]
+    fn = {"mt": _mt_tests, "bw": _bw_tests, "mt_nodiv": _mt_nodiv_tests,
+          "bw_nodiv": _bw_nodiv_tests, "bw_minok": _bw_minok_tests}[name]
     cols = tris.shape[-1]
     # Packets tile the LANE axis of one long (8, P*R) row — the shipping
     # kernels' layout (intersect_pallas.py out_specs).
@@ -154,7 +201,9 @@ def main():
 
     rays_j = jnp.asarray(rays)
     arms = {"mt": jnp.asarray(tris_mt), "bw": jnp.asarray(tris_bw),
-            "mt_nodiv": jnp.asarray(tris_mt)}
+            "mt_nodiv": jnp.asarray(tris_mt),
+            "bw_nodiv": jnp.asarray(tris_bw),
+            "bw_minok": jnp.asarray(tris_bw)}
 
     # Correctness: bw == mt winner-t to 1e-3 rel (discrete flips aside).
     t_mt = np.asarray(run(rays_j, arms["mt"], "mt"))
@@ -164,6 +213,9 @@ def main():
     hit_agree = float(((t_mt < T_MAX) == (t_bw < T_MAX)).mean())
     print(f"bw-vs-mt: hit agree {hit_agree:.6f}, "
           f"max rel t err {rel.max():.2e}, frac>1e-3 {(rel > 1e-3).mean():.2e}")
+    # bw_minok must be DECISION-identical to bw (algebraic compaction).
+    t_mk = np.asarray(run(rays_j, arms["bw_minok"], "bw_minok"))
+    print(f"minok-vs-bw: identical {bool((t_mk == t_bw).all())}")
 
     tests = PACKETS * C * K * R
     for name, tris in arms.items():

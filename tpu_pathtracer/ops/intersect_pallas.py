@@ -180,14 +180,14 @@ def _bw_tests(tri, pr, t_min, t_max):
     hz = oz + t * dz
     u = p1x * hx + p1y * hy + p1z * hz + c1
     v = p2x * hx + p2y * hy + p2z * hz + c2
-    ok = (
-        (jnp.abs(den) > 1e-12)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < t_max)
-    )
+    # Validity chain compacted to min-reductions: decision-identical to
+    # the 6-compare/5-and form (NaN u/v from parked-ray inf overflow
+    # propagate through jnp.minimum and fail `>= 0` the same way; rcp
+    # != 0 <=> |den| > 1e-12 by construction) and measured -9% loop time
+    # on v5e (probe_tri_test: bw_minok 56.0 vs bw 51.0 G tests/s,
+    # t outputs bit-identical on the 73M-test probe set).
+    bary_ok = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v)) >= 0.0
+    ok = bary_ok & (t > t_min) & (t < t_max) & (rcp != 0.0)
     return jnp.where(ok, t, jnp.float32(jnp.inf)), u, v
 
 
